@@ -1,0 +1,43 @@
+"""DiscriminativeAdaptionNeck (DAN) box head.
+
+Parity target: reference DAN (uwsod/projects/WSL/wsl/modeling/roi_heads/box_head.py:15-104):
+N conv 3x3 (none in the OICR+ config) then FC(4096)->ReLU->Dropout(0.5) x2.
+FC init: normal(std=0.005), bias 0.1 (box_head.py:62-67).
+Input is (P, C, PH, PW) pooled features — flattened in C-major order so
+converted torch/caffe FC weights apply unchanged.
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+_fc_init = nn.initializers.normal(stddev=0.005)
+_bias_init = nn.initializers.constant(0.1)
+_conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+class DAN(nn.Module):
+    conv_dims: Sequence[int] = ()
+    fc_dims: Sequence[int] = (4096, 4096)
+    dropout_rate: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+        """x: (P, C, PH, PW) -> (P, fc_dims[-1])."""
+        if self.conv_dims:
+            x = jnp.transpose(x, (0, 2, 3, 1))  # NHWC for convs
+            for i, d in enumerate(self.conv_dims):
+                x = nn.Conv(d, (3, 3), padding=1, dtype=self.dtype,
+                            kernel_init=_conv_init, name=f"conv{i + 1}")(x)
+                x = nn.relu(x)
+            x = jnp.transpose(x, (0, 3, 1, 2))
+        x = x.reshape(x.shape[0], -1)
+        for i, d in enumerate(self.fc_dims):
+            x = nn.Dense(d, dtype=self.dtype, kernel_init=_fc_init,
+                         bias_init=_bias_init, name=f"fc{i + 1}")(x)
+            x = nn.relu(x)
+            x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        return x
