@@ -1,0 +1,71 @@
+"""Benchmark: stage-1 OICR+ training step throughput on one real TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measured program: the full jitted train step (4-view VGG16 forward, ROIPool over
+4k proposals x 4 views, WSDDN MIL + K=4 MIST/refine losses, backward, SGD
+update) at the reference's production shapes (voc07_oicr_plus.yaml: min-size
+~688, 4000 proposals, batch 1 image/chip like the reference's 1 image/GPU).
+
+Baseline: the reference publishes no throughput numbers (SURVEY.md §6). We use
+a fixed 2.0 images/sec/GPU estimate for the reference's stage-1 multi-view
+VGG16 training on a V100-class GPU (batch 1/GPU, two-scale backbone at
+~688x1000 plus flips), so vs_baseline = our images/sec/chip / 2.0.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from sos_wsod_tpu.engine.trainer import make_stage1_train_step
+    from sos_wsod_tpu.models.meta.rcnn_wsl import MultiInputRCNN
+    from sos_wsod_tpu.solver.build import torch_sgd, warmup_multistep_lr
+    from __graft_entry__ import _tiny_image_batch
+
+    # production-ish stage-1 shapes: scale1 688x1024, scale2 576x864, P=4096
+    rng = np.random.RandomState(0)
+    p = 4096
+    batch1 = _tiny_image_batch(rng, p=p, h1=688, w1=1024, h2=576, w2=864)
+    batch = jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None], batch1)
+
+    model = MultiInputRCNN(num_classes=20, seed_cap=1024, dtype=jnp.bfloat16)
+    one = jax.tree_util.tree_map(lambda x: x[0], batch)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, one, train=True
+    )["params"]
+    tx = torch_sgd(warmup_multistep_lr(1e-3, (35000,)), momentum=0.9)
+    state = {"params": params, "opt_state": tx.init(params), "iter": jnp.zeros((), jnp.int32)}
+
+    step = jax.jit(make_stage1_train_step(model, tx, mesh=None, donate=True))
+    key = jax.random.PRNGKey(2)
+
+    # warmup / compile
+    state, m = step(state, batch, key)
+    jax.block_until_ready(m)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = step(state, batch, jax.random.fold_in(key, i))
+    jax.block_until_ready(m)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = iters * 1 / dt
+    baseline = 2.0  # assumed reference GPU images/sec (see module docstring)
+    print(json.dumps({
+        "metric": "stage1_train_images_per_sec_per_chip",
+        "value": round(imgs_per_sec, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""Default setup + inference runner + argument parser.
+
+Parity targets: detectron2 engine/defaults.py (default_argument_parser,
+default_setup, DefaultTrainer.test) and evaluator.inference_on_dataset
+(detectron2/detectron2/evaluation/evaluator.py). The inference loop batches
+compilation by padded-canvas bucket: each distinct (H, W, P) signature compiles
+once, every following image at that signature reuses the executable.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import time
+from collections import OrderedDict
+from typing import Iterable, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def default_argument_parser(epilog: Optional[str] = None) -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(epilog=epilog)
+    parser.add_argument("--config-file", default="", metavar="FILE")
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--eval-only", action="store_true")
+    parser.add_argument("--num-gpus", type=int, default=1, help="number of chips (mesh size)")
+    parser.add_argument("--num-machines", type=int, default=1)
+    parser.add_argument("--machine-rank", type=int, default=0)
+    parser.add_argument("--dist-url", default="auto")
+    parser.add_argument(
+        "opts", default=None, nargs=argparse.REMAINDER,
+        help="Modify config options 'KEY VALUE' pairs at the end",
+    )
+    return parser
+
+
+def setup_logging(output_dir: str = "", name: str = "sos_wsod_tpu"):
+    fmt = "[%(asctime)s] %(name)s %(levelname)s: %(message)s"
+    handlers = [logging.StreamHandler(sys.stdout)]
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        handlers.append(logging.FileHandler(os.path.join(output_dir, "log.txt")))
+    logging.basicConfig(level=logging.INFO, format=fmt, handlers=handlers, force=True)
+
+
+def default_setup(cfg, args):
+    setup_logging(cfg.OUTPUT_DIR)
+    logger.info("Command line args: %s", args)
+    if cfg.OUTPUT_DIR:
+        os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+        with open(os.path.join(cfg.OUTPUT_DIR, "config.yaml"), "w") as f:
+            f.write(cfg.dump())
+    seed = cfg.SEED
+    if seed >= 0:
+        np.random.seed(seed)
+
+
+def run_stage1_inference(model, params, data_iter: Iterable, evaluator) -> OrderedDict:
+    """Drive single-image OICR+ inference over a test stream into an evaluator.
+
+    Compiles one executable per padded-shape signature (jax.jit cache) and
+    rescales detections to the original image size before handing them to the
+    evaluator, mirroring inference_on_dataset + detector_postprocess.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.postprocess import rescale_detections
+
+    @jax.jit
+    def infer(params, batch):
+        det, all_scores, all_boxes = model.apply({"params": params}, batch, train=False)
+        det = rescale_detections(det, batch["image_hw"], batch["orig_hw"])
+        return det
+
+    evaluator.reset()
+    n = 0
+    t0 = time.perf_counter()
+    for sample in data_iter:
+        image_id = sample.pop("image_id")
+        orig_hw = sample["orig_hw"]
+        batch = {k: jnp.asarray(v) for k, v in sample.items()}
+        det = jax.device_get(infer(params, batch))
+        evaluator.process_single(
+            image_id, det.boxes, det.scores, det.classes, det.valid
+        )
+        n += 1
+        if n % 500 == 0:
+            logger.info("Inference %d images (%.3f s/img)", n, (time.perf_counter() - t0) / n)
+    results = evaluator.evaluate()
+    logger.info("Evaluation results: %s", dict(results))
+    return results

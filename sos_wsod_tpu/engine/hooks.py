@@ -1,0 +1,156 @@
+"""Trainer hook system.
+
+Parity target: detectron2's HookBase/hook set
+(reference: detectron2/detectron2/engine/train_loop.py + engine/hooks.py —
+IterationTimer :77-147, PeriodicWriter, PeriodicCheckpointer wrapper, LRScheduler,
+EvalHook, AutogradProfiler :271-334). The hook surface is preserved; the
+profiler hook wraps ``jax.profiler`` traces instead of torch autograd.
+"""
+from __future__ import annotations
+
+import logging
+import time
+from typing import Callable, List, Optional
+
+logger = logging.getLogger(__name__)
+
+
+class HookBase:
+    trainer = None  # set by TrainerBase.register_hooks
+
+    def before_train(self):
+        pass
+
+    def after_train(self):
+        pass
+
+    def before_step(self):
+        pass
+
+    def after_step(self):
+        pass
+
+
+class IterationTimer(HookBase):
+    """Reports seconds/iter excluding the warmup iterations, and per-step
+    time via EventStorage (reference hooks.py:77-147)."""
+
+    def __init__(self, warmup_iter: int = 3):
+        self._warmup_iter = warmup_iter
+        self._start_time = 0.0
+        self._total_timer_start = None
+        self._step_start = 0.0
+        self._done_iters = 0
+
+    def before_train(self):
+        self._start_time = time.perf_counter()
+
+    def after_train(self):
+        total = time.perf_counter() - self._start_time
+        n = max(self._done_iters - self._warmup_iter, 1)
+        logger.info("Total training time: %.1fs (%.4f s/iter over %d iters)", total, total / n, n)
+
+    def before_step(self):
+        self._step_start = time.perf_counter()
+
+    def after_step(self):
+        dt = time.perf_counter() - self._step_start
+        self._done_iters += 1
+        if self._done_iters > self._warmup_iter:
+            self.trainer.storage.put_scalar("time", dt, smoothing_hint=True)
+
+
+class PeriodicWriter(HookBase):
+    def __init__(self, writers: List, period: int = 20):
+        self._writers = writers
+        self._period = period
+
+    def after_step(self):
+        it = self.trainer.iter
+        if (it + 1) % self._period == 0 or (it == self.trainer.max_iter - 1):
+            for w in self._writers:
+                w.write(self.trainer.storage)
+
+    def after_train(self):
+        for w in self._writers:
+            w.write(self.trainer.storage)
+            w.close()
+
+
+class CheckpointHook(HookBase):
+    """Wraps engine.checkpoint.PeriodicCheckpointer over the trainer state."""
+
+    def __init__(self, periodic_checkpointer):
+        self._pc = periodic_checkpointer
+
+    def after_step(self):
+        self._pc.step(self.trainer.iter, self.trainer.state_dict())
+
+    def after_train(self):
+        # final save is handled by PeriodicCheckpointer.max_iter logic
+        pass
+
+
+class EvalHook(HookBase):
+    def __init__(self, eval_period: int, eval_fn: Callable[[], Optional[dict]]):
+        self._period = eval_period
+        self._fn = eval_fn
+
+    def _do_eval(self):
+        results = self._fn()
+        if results:
+            flat = {}
+            for task, metrics in results.items():
+                if isinstance(metrics, dict):
+                    for k, v in metrics.items():
+                        flat[f"{task}/{k}"] = v
+                else:
+                    flat[task] = metrics
+            self.trainer.storage.put_scalars(smoothing_hint=False, **flat)
+
+    def after_step(self):
+        if self._period > 0 and (self.trainer.iter + 1) % self._period == 0:
+            if self.trainer.iter != self.trainer.max_iter - 1:
+                self._do_eval()
+
+    def after_train(self):
+        self._do_eval()
+
+
+class LRSchedulerHook(HookBase):
+    """Logs the scheduled LR (the schedule itself lives inside the optax
+    transformation; nothing to mutate — functional update, unlike the torch
+    scheduler object this replaces)."""
+
+    def __init__(self, schedule: Callable):
+        self._schedule = schedule
+
+    def after_step(self):
+        self.trainer.storage.put_scalar(
+            "lr", float(self._schedule(self.trainer.iter)), smoothing_hint=False
+        )
+
+
+class JaxProfilerHook(HookBase):
+    """Dump an xplane trace for iterations in [start, stop) — the TPU-native
+    replacement of the AutogradProfiler chrome-trace hook."""
+
+    def __init__(self, start_iter: int, stop_iter: int, log_dir: str):
+        self._start = start_iter
+        self._stop = stop_iter
+        self._dir = log_dir
+        self._active = False
+
+    def before_step(self):
+        import jax
+
+        if self.trainer.iter == self._start and not self._active:
+            jax.profiler.start_trace(self._dir)
+            self._active = True
+
+    def after_step(self):
+        import jax
+
+        if self.trainer.iter + 1 >= self._stop and self._active:
+            jax.profiler.stop_trace()
+            self._active = False

@@ -1,0 +1,225 @@
+"""Training loop: hook-driven TrainerBase + the stage-1 WSOD trainer.
+
+Parity targets:
+ - d2 TrainerBase/SimpleTrainer loop semantics (reference:
+   detectron2/detectron2/engine/train_loop.py) — before/after hooks, EventStorage,
+   NaN detection on the summed loss;
+ - the stage-1 ``Trainer`` (uwsod/projects/WSL/tools/train_net_multi.py:58-380):
+   iter-size gradient accumulation (WSL.ITER_SIZE), empty-batch skipping (done in
+   the data pipeline), resume restoring the head's iteration counter.
+
+TPU-native shape: one jit-compiled SPMD program performs forward+backward+update
+for all images of the global batch — per-image work is vmapped, the batch axis
+is sharded over the mesh's 'data' axis, params/optimizer state are replicated,
+and XLA inserts the gradient psum over ICI (no DDP wrapper, no NCCL; compare
+detectron2/detectron2/engine/launch.py:27-123).
+"""
+from __future__ import annotations
+
+import logging
+import weakref
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..utils.events import EventStorage
+from .hooks import HookBase
+
+logger = logging.getLogger(__name__)
+
+
+class TrainerBase:
+    def __init__(self):
+        self._hooks: List[HookBase] = []
+        self.iter: int = 0
+        self.start_iter: int = 0
+        self.max_iter: int = 0
+        self.storage: Optional[EventStorage] = None
+
+    def register_hooks(self, hooks: List[Optional[HookBase]]):
+        hooks = [h for h in hooks if h is not None]
+        for h in hooks:
+            assert isinstance(h, HookBase)
+            h.trainer = weakref.proxy(self)
+        self._hooks.extend(hooks)
+
+    def train(self, start_iter: int, max_iter: int):
+        logger.info("Starting training from iteration %d", start_iter)
+        self.iter = self.start_iter = start_iter
+        self.max_iter = max_iter
+        with EventStorage(start_iter) as self.storage:
+            try:
+                self.before_train()
+                for self.iter in range(start_iter, max_iter):
+                    self.before_step()
+                    self.run_step()
+                    self.after_step()
+                    self.storage.step()
+                self.iter += 1
+            finally:
+                self.after_train()
+
+    def before_train(self):
+        for h in self._hooks:
+            h.before_train()
+
+    def after_train(self):
+        if self.storage is not None:
+            self.storage.iter = self.iter
+        for h in self._hooks:
+            h.after_train()
+
+    def before_step(self):
+        self.storage.iter = self.iter
+        for h in self._hooks:
+            h.before_step()
+
+    def after_step(self):
+        for h in self._hooks:
+            h.after_step()
+
+    def run_step(self):
+        raise NotImplementedError
+
+    def state_dict(self) -> Dict[str, Any]:
+        raise NotImplementedError
+
+
+def stack_batch(samples: List[Dict[str, np.ndarray]], keys=None) -> Dict[str, np.ndarray]:
+    """Stack per-image mapper outputs into a leading batch axis. All samples
+    must share canvas/capacity shapes (the loader's bucketing guarantees it)."""
+    keys = keys or [k for k, v in samples[0].items() if isinstance(v, np.ndarray)]
+    return {k: np.stack([s[k] for s in samples]) for k in keys}
+
+
+def make_stage1_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    mesh=None,
+    data_axis: str = "data",
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted SPMD train step.
+
+    state: {'params', 'opt_state', 'iter'}; batch: pytree with leading global
+    batch axis (divisible by mesh size); rng: scalar PRNG key (dropout).
+    Returns (new_state, metrics) with metrics reduced to scalars.
+    """
+
+    def loss_fn(params, batch, rng):
+        b = jax.tree_util.tree_leaves(batch)[0].shape[0]
+        keys = jax.random.split(rng, b)
+
+        def per_image(img_batch, key):
+            return model.apply(
+                {"params": params}, img_batch, train=True, rngs={"dropout": key}
+            )
+
+        losses = jax.vmap(per_image)(batch, keys)  # dict of (B,)
+        mean_losses = jax.tree_util.tree_map(jnp.mean, losses)
+        total = jnp.asarray(0.0, jnp.float32)
+        for v in mean_losses.values():
+            total = total + v
+        return total, mean_losses
+
+    def step(state, batch, rng):
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["params"], batch, rng
+        )
+        updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        new_state = {"params": params, "opt_state": opt_state, "iter": state["iter"] + 1}
+        metrics = dict(losses)
+        metrics["total_loss"] = total
+        return new_state, metrics
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P(data_axis))
+        return jax.jit(
+            step,
+            in_shardings=(repl, data, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,) if donate else (),
+        )
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+class Stage1Trainer(TrainerBase):
+    """OICR+ multi-input trainer over a jitted SPMD step."""
+
+    def __init__(
+        self,
+        cfg,
+        model=None,
+        data_iter=None,
+        mesh=None,
+        rng: Optional[jax.Array] = None,
+    ):
+        super().__init__()
+        from ..models.meta.rcnn_wsl import MultiInputRCNN
+        from ..solver.build import build_optimizer
+
+        self.cfg = cfg
+        self.model = model if model is not None else MultiInputRCNN.from_cfg(cfg)
+        self.data_iter = data_iter
+        self.mesh = mesh
+
+        tx = build_optimizer(cfg)
+        iter_size = int(getattr(cfg.WSL, "ITER_SIZE", 1) or 1)
+        if iter_size > 1:
+            # reference accumulates grads for ITER_SIZE sub-iters then steps
+            # (train_net_multi.py run_step); optax.MultiSteps averages them,
+            # matching the reference's auto_scale_workers LR/iter_size rescale.
+            tx = optax.MultiSteps(tx, every_k_schedule=iter_size)
+        self.tx = tx
+        self.train_step = make_stage1_train_step(self.model, tx, mesh=mesh)
+        self.rng = rng if rng is not None else jax.random.PRNGKey(max(cfg.SEED, 0))
+        self.state: Optional[Dict[str, Any]] = None
+
+    def init_state(self, example_batch) -> Dict[str, Any]:
+        one = jax.tree_util.tree_map(lambda x: jnp.asarray(np.asarray(x)[0]), example_batch)
+        k0, k1, self.rng = jax.random.split(self.rng, 3)
+        params = self.model.init({"params": k0, "dropout": k1}, one, train=True)["params"]
+        self.state = {
+            "params": params,
+            "opt_state": self.tx.init(params),
+            "iter": jnp.zeros((), jnp.int32),
+        }
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate
+
+            self.state = replicate(self.state, self.mesh)
+        return self.state
+
+    def run_step(self):
+        import time
+
+        t0 = time.perf_counter()
+        batch = next(self.data_iter)
+        if isinstance(batch, list):
+            batch = stack_batch(batch)
+        data_time = time.perf_counter() - t0
+        if self.state is None:
+            self.init_state(batch)
+        self.rng, key = jax.random.split(self.rng)
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_batch
+
+            batch = shard_batch(batch, self.mesh)
+        self.state, metrics = self.train_step(self.state, batch, key)
+        metrics = jax.device_get(metrics)
+        total = float(metrics["total_loss"])
+        if not np.isfinite(total):
+            raise FloatingPointError(f"Loss became {total} at iteration {self.iter}")
+        self.storage.put_scalar("data_time", data_time)
+        for k, v in metrics.items():
+            self.storage.put_scalar(k, float(v))
+
+    def state_dict(self) -> Dict[str, Any]:
+        return self.state

@@ -1,0 +1,245 @@
+"""OICR+ head: MIL + K refinement branches over 4 synchronized views.
+
+Parity target: reference OICRPlusHeads
+(uwsod/projects/WSL/wsl/modeling/roi_heads/roi_heads_oicrplus.py:36-757) and the
+WSL base ROIHeads matcher/labeling (roi_heads.py:256-357). The whole training
+computation — objectness-weighted pooled features, DAN, WSDDN MIL loss over 4
+views, K=4 rounds of MIST pseudo-GT mining / IoU labeling / weighted-CE(+reg)
+refinement — is one fixed-shape jit program; all dynamic reference constructs
+(per-class variable top-k, masked_select, NMS keep lists, Instances surgery)
+become masked fixed-capacity ops.
+
+Reference quirk reproduced on purpose: the 4th view's branch CE/reg loss is
+computed from the 3rd view's predictions (roi_heads_oicrplus.py:381 passes
+``predictions_k2`` with ``proposals_k2_flip``).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...core import boxes as box_ops
+from ...core.instances import GroundTruth
+from ...core.matcher import Matcher
+from ...ops.nms import nms_mask
+from .dan import DAN
+from .oicr import OICRBranch, box_reg_loss, weighted_ce_loss
+from .wsddn import WSDDNHead, mil_loss, wsddn_scores
+
+
+def mist_mining(
+    prev_scores: jnp.ndarray,
+    prop_boxes: jnp.ndarray,
+    prop_valid: jnp.ndarray,
+    gt_classes_oh: jnp.ndarray,
+    *,
+    mist_p: float = 0.10,
+    mist_thre: float = 0.05,
+    nms_thresh: float = 0.01,
+    seed_cap: int = 1024,
+) -> GroundTruth:
+    """MIST pseudo-GT mining (get_pgt_top_k + get_pgt_mist, "nms" type).
+
+    Per present class: take top max(int(n_valid*mist_p), 1) proposals by score;
+    the top-1 is always kept, lower ranks need score >= mist_thre
+    (roi_heads_oicrplus.py:607-733). Surviving seeds from all classes then pass
+    one class-AGNOSTIC NMS at iou 0.01 (:576-586, idxs are zeros).
+
+    prev_scores: (P, K) or (P, K+1); only the first K class columns are used.
+    Returns GroundTruth with capacity ``seed_cap``.
+    """
+    p = prop_boxes.shape[0]
+    k = gt_classes_oh.shape[0]
+    scores = prev_scores[:, :k]
+    kmax = min(int(p * mist_p) + 1, p)
+
+    n_valid = jnp.sum(prop_valid.astype(jnp.int32))
+    top_k_count = jnp.maximum((n_valid.astype(jnp.float32) * mist_p).astype(jnp.int32), 1)
+
+    masked = jnp.where(prop_valid[:, None], jnp.asarray(scores, jnp.float32), -jnp.inf)
+    vals, idxs = jax.lax.top_k(masked.T, kmax)  # (K, kmax) per-class ranking
+    rank = jnp.broadcast_to(jnp.arange(kmax)[None, :], (k, kmax))
+    cls_present = gt_classes_oh.astype(bool)[:, None]
+    seed_valid = (
+        cls_present
+        & (rank < top_k_count)
+        & ((rank == 0) | (vals >= mist_thre))
+        & jnp.isfinite(vals)
+    )
+
+    # flatten and compact to seed_cap (rank-0 seeds get a selection bonus so the
+    # always-kept top-1 per class can never be dropped by truncation)
+    flat_vals = vals.reshape(-1)
+    flat_idxs = idxs.reshape(-1)
+    flat_cls = jnp.broadcast_to(jnp.arange(k)[:, None], (k, kmax)).reshape(-1)
+    flat_valid = seed_valid.reshape(-1)
+    sel = jnp.where(flat_valid, flat_vals + jnp.where(rank.reshape(-1) == 0, 1e4, 0.0), -jnp.inf)
+    _, take = jax.lax.top_k(sel, min(seed_cap, flat_vals.shape[0]))
+
+    s_scores = flat_vals[take]
+    s_idx = flat_idxs[take]
+    s_cls = flat_cls[take]
+    s_valid = flat_valid[take]
+    s_boxes = prop_boxes[s_idx]
+
+    keep = nms_mask(s_boxes, s_scores, s_valid, nms_thresh)
+    return GroundTruth(
+        boxes=s_boxes,
+        classes=s_cls.astype(jnp.int32),
+        scores=s_scores,
+        weights=s_scores,
+        index=s_idx.astype(jnp.int32),
+        valid=keep & s_valid,
+    )
+
+
+def label_and_sample(
+    gt: GroundTruth,
+    prop_boxes: jnp.ndarray,
+    prop_valid: jnp.ndarray,
+    matcher: Matcher,
+    num_classes: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Assign every proposal a class/weight/pgt-index (no subsampling — the WSL
+    fork keeps all proposals, roi_heads.py:256-257).
+
+    Returns (gt_classes (P,), weights (P,), index (P,), fg_mask (P,)).
+    """
+    iou = box_ops.pairwise_iou(gt.boxes, prop_boxes)
+    matched, labels = matcher(iou, gt.valid)
+    m_cls = gt.classes[matched]
+    cls = jnp.where(labels == 1, m_cls, jnp.where(labels == 0, num_classes, -1))
+    weights = gt.weights[matched]
+    weights = jnp.where(cls == -1, 0.0, weights)
+    any_gt = jnp.any(gt.valid)
+    weights = jnp.where(any_gt, weights, 0.0)
+    index = gt.index[matched]
+    fg = prop_valid & (cls >= 0) & (cls < num_classes)
+    return cls, weights, index, fg
+
+
+class OICRPlusHead(nn.Module):
+    """DAN + WSDDN + K OICR branches; multi-view loss and single-view inference."""
+
+    num_classes: int = 20
+    refine_k: int = 4
+    refine_reg: Sequence[bool] = (True, True, True, True)
+    refine_mist: bool = True
+    mist_p: float = 0.10
+    mist_thre: float = 0.05
+    mean_loss: bool = True
+    smooth_l1_beta: float = 0.0
+    bbox_reg_weights: Tuple[float, float, float, float] = (10.0, 10.0, 5.0, 5.0)
+    iou_thresholds: Sequence[float] = (0.5, 0.6)
+    iou_labels: Sequence[int] = (0, -1, 1)
+    seed_cap: int = 1024
+    dan_dims: Sequence[int] = (4096, 4096)
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.dan = DAN(fc_dims=tuple(self.dan_dims), dtype=self.dtype)
+        self.wsddn = WSDDNHead(self.num_classes, dtype=self.dtype)
+        self.refine = [
+            OICRBranch(self.num_classes, has_reg=self.refine_reg[k], dtype=self.dtype,
+                       name=f"box_refinery_{k}")
+            for k in range(self.refine_k)
+        ]
+        self.matcher = Matcher(list(self.iou_thresholds), list(self.iou_labels))
+
+    def _features(self, pooled: jnp.ndarray, objectness: jnp.ndarray, train: bool) -> jnp.ndarray:
+        """pooled: (..., P, C, PH, PW); objectness: (P,) raw MCG/SS logits.
+        Objectness weighting: feats * (objectness + 1) (roi_heads_oicrplus.py:200-221)."""
+        w = (objectness + 1.0).astype(pooled.dtype)
+        x = pooled * w[..., :, None, None, None]
+        flat = x.reshape((-1,) + x.shape[-3:])
+        f = self.dan(flat, train=train)
+        return f.reshape(x.shape[:-3] + (f.shape[-1],))
+
+    def losses(
+        self,
+        pooled: jnp.ndarray,        # (4, P, C, PH, PW) views: s1, s1_flip, s2, s2_flip
+        boxes: jnp.ndarray,         # (4, P, 4) per-view proposal coords
+        objectness: jnp.ndarray,    # (P,)
+        prop_valid: jnp.ndarray,    # (P,)
+        gt_classes_oh: jnp.ndarray, # (K,)
+    ) -> Dict[str, jnp.ndarray]:
+        v, p = pooled.shape[0], pooled.shape[1]
+        feats = self._features(pooled, objectness, train=True)  # (4, P, F)
+
+        c, d = self.wsddn(feats.reshape(v * p, -1))
+        c = c.reshape(v, p, -1)
+        d = d.reshape(v, p, -1)
+        scores_v = jax.vmap(lambda cc, dd: wsddn_scores(cc, dd, prop_valid))(c, d)
+        mil = jnp.mean(
+            jnp.stack([mil_loss(scores_v[i], gt_classes_oh, self.mean_loss) for i in range(v)])
+        )
+        losses = {"loss_cls": mil}
+
+        prev = jax.lax.stop_gradient(jnp.mean(scores_v, axis=0))  # (P, K)
+        for k in range(self.refine_k):
+            term_weight = 1.0
+            if k == 0 and (not self.refine_mist) and (not self.refine_reg[0]):
+                term_weight = 3.0  # roi_heads_oicrplus.py:305-306
+            gt = mist_mining(
+                prev, boxes[0], prop_valid, gt_classes_oh,
+                mist_p=self.mist_p, mist_thre=self.mist_thre, seed_cap=self.seed_cap,
+            )
+            cls, weights, index, _ = label_and_sample(
+                gt, boxes[0], prop_valid, self.matcher, self.num_classes
+            )
+
+            sc, dl = self.refine[k](feats.reshape(v * p, -1))
+            sc = sc.reshape(v, p, -1)
+            dl = dl.reshape(v, p, -1)
+
+            # reference quirk: view 3 losses reuse view 2 predictions (:381)
+            pred_view = [0, 1, 2, 2]
+            ce_terms = []
+            reg_terms = []
+            for view in range(v):
+                pv = pred_view[view]
+                ce_terms.append(weighted_ce_loss(sc[pv], cls, weights, prop_valid))
+                if self.refine_reg[k]:
+                    gt_boxes_view = boxes[view][index]
+                    reg_terms.append(
+                        box_reg_loss(
+                            dl[pv], boxes[view], gt_boxes_view, cls, prop_valid,
+                            num_classes=self.num_classes, beta=self.smooth_l1_beta,
+                            weights=self.bbox_reg_weights,
+                        )
+                    )
+            losses[f"loss_cls_r{k}"] = jnp.mean(jnp.stack(ce_terms)) * term_weight
+            if self.refine_reg[k]:
+                losses[f"loss_box_reg_r{k}"] = jnp.mean(jnp.stack(reg_terms)) * term_weight
+
+            probs = jax.nn.softmax(jnp.asarray(sc, jnp.float32), axis=-1)  # (4, P, K+1)
+            prev = jax.lax.stop_gradient(jnp.mean(probs, axis=0))
+        return losses
+
+    def predict(
+        self,
+        pooled: jnp.ndarray,       # (P, C, PH, PW) single view
+        boxes: jnp.ndarray,        # (P, 4)
+        objectness: jnp.ndarray,   # (P,)
+        prop_valid: jnp.ndarray,   # (P,)
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Branch-ensembled inference (fast_rcnn_oicr.py:674-736): mean softmax
+        over the K branches and mean deltas, decoded against the proposals.
+
+        Returns (scores (P, K+1), pred_boxes (P, K*4))."""
+        feats = self._features(pooled, objectness, train=False)  # (P, F)
+        probs = None
+        deltas = None
+        for k in range(self.refine_k):
+            sc, dl = self.refine[k](feats)
+            pk = jax.nn.softmax(jnp.asarray(sc, jnp.float32), axis=-1)
+            probs = pk if probs is None else probs + pk
+            dk = jnp.asarray(dl, jnp.float32)
+            deltas = dk if deltas is None else deltas + dk
+        probs = probs / self.refine_k
+        deltas = deltas / self.refine_k
+        pred_boxes = box_ops.apply_deltas(deltas, boxes, self.bbox_reg_weights)
+        return probs, pred_boxes

@@ -1,0 +1,123 @@
+"""Engine: SPMD train step (8-device virtual mesh), trainer loop, hooks,
+solver schedules, and the driver-contract dryrun."""
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sos_wsod_tpu.engine.trainer import Stage1Trainer, make_stage1_train_step, stack_batch
+from sos_wsod_tpu.models.meta.rcnn_wsl import MultiInputRCNN
+from sos_wsod_tpu.solver.build import (
+    torch_sgd,
+    warmup_multistep_lr,
+    warmup_two_stage_multistep_lr,
+)
+
+
+def _tiny_samples(n, p=16, h1=32, w1=48, h2=48, w2=64):
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _tiny_image_batch
+
+    rng = np.random.RandomState(0)
+    return [
+        jax.tree_util.tree_map(np.asarray, _tiny_image_batch(rng, p, h1, w1, h2, w2))
+        for _ in range(n)
+    ]
+
+
+def test_warmup_multistep_schedule():
+    s = warmup_multistep_lr(0.001, (10, 20), gamma=0.1, warmup_factor=0.1, warmup_iters=4)
+    assert float(s(0)) == pytest.approx(0.0001)
+    assert float(s(4)) == pytest.approx(0.001)
+    assert float(s(10)) == pytest.approx(0.0001)
+    assert float(s(20)) == pytest.approx(0.00001)
+
+
+def test_two_stage_schedule():
+    s = warmup_two_stage_multistep_lr(0.01, (5,), (1.0, 0.5), warmup_iters=0)
+    assert float(s(0)) == pytest.approx(0.01)
+    assert float(s(5)) == pytest.approx(0.005)
+
+
+def test_torch_sgd_matches_torch_semantics():
+    # wd folded into grad before momentum; update = lr * buf
+    import torch
+
+    p_t = torch.nn.Parameter(torch.tensor([1.0, -2.0]))
+    opt = torch.optim.SGD([p_t], lr=0.1, momentum=0.9, weight_decay=0.01)
+    tx = torch_sgd(lambda it: 0.1, momentum=0.9, weight_decay_fn=lambda path: 0.01)
+    params = {"w": jnp.asarray([1.0, -2.0])}
+    state = tx.init(params)
+    for step in range(3):
+        g = np.asarray([0.5, -0.3], np.float32) * (step + 1)
+        p_t.grad = torch.tensor(g)
+        opt.step()
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = {"w": params["w"] + updates["w"]}
+    np.testing.assert_allclose(np.asarray(params["w"]), p_t.detach().numpy(), rtol=1e-6)
+
+
+def test_spmd_train_step_8dev_mesh():
+    from jax.sharding import Mesh
+
+    devices = jax.devices()
+    assert len(devices) == 8, "conftest should force 8 virtual cpu devices"
+    mesh = Mesh(np.asarray(devices), ("data",))
+    model = MultiInputRCNN(num_classes=20, seed_cap=16, dan_dims=(32, 32))
+    samples = _tiny_samples(8)
+    batch = stack_batch(samples)
+    batch = jax.tree_util.tree_map(jnp.asarray, batch)
+
+    one = jax.tree_util.tree_map(lambda x: x[0], batch)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, one, train=True
+    )["params"]
+    tx = torch_sgd(warmup_multistep_lr(1e-3, (100,)), momentum=0.9)
+    state = {"params": params, "opt_state": tx.init(params), "iter": jnp.zeros((), jnp.int32)}
+
+    from sos_wsod_tpu.parallel.mesh import replicate, shard_batch
+
+    state = replicate(state, mesh)
+    batch = shard_batch(batch, mesh)
+    step = make_stage1_train_step(model, tx, mesh=mesh, donate=False)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert int(new_state["iter"]) == 1
+    # params actually moved
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), new_state["params"], state["params"]
+    )
+    assert max(jax.tree_util.tree_leaves(d)) > 0
+
+
+def test_trainer_loop_runs_with_hooks(tmp_path):
+    from sos_wsod_tpu.config import get_default_cfg
+    from sos_wsod_tpu.engine.hooks import IterationTimer, LRSchedulerHook
+
+    cfg = get_default_cfg()
+    cfg.SOLVER.IMS_PER_BATCH = 1
+    cfg.WSL.ITER_SIZE = 2
+    cfg.OUTPUT_DIR = str(tmp_path)
+    model = MultiInputRCNN(num_classes=20, seed_cap=16, dan_dims=(32, 32))
+    samples = _tiny_samples(1)
+
+    def data_iter():
+        while True:
+            yield [samples[0]]
+
+    trainer = Stage1Trainer(cfg, model=model, data_iter=data_iter())
+    trainer.register_hooks([IterationTimer(), LRSchedulerHook(lambda it: 1e-3)])
+    trainer.train(0, 3)
+    assert trainer.iter == 3
+    assert int(trainer.state["iter"]) == 3
+    hist = trainer.storage.histories()
+    assert "total_loss" in hist and np.isfinite(hist["total_loss"].latest)
+
+
+def test_dryrun_multichip_contract():
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)

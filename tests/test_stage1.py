@@ -1,0 +1,194 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sos_wsod_tpu.models.heads.oicr_plus import label_and_sample, mist_mining
+from sos_wsod_tpu.core.matcher import Matcher
+from sos_wsod_tpu.models.meta.rcnn_wsl import MultiInputRCNN
+
+from oracles import nms_np
+
+
+def _rand_boxes(rng, n, h, w):
+    x1 = rng.uniform(0, w - 10, n)
+    y1 = rng.uniform(0, h - 10, n)
+    x2 = np.minimum(x1 + rng.uniform(5, w / 2, n), w)
+    y2 = np.minimum(y1 + rng.uniform(5, h / 2, n), h)
+    return np.stack([x1, y1, x2, y2], axis=1).astype(np.float32)
+
+
+def mist_oracle(scores, boxes, present, p_frac, thre, nms_thr=0.01):
+    """Reference get_pgt_mist semantics (roi_heads_oicrplus.py:560-733)."""
+    n = scores.shape[0]
+    topk = max(int(n * p_frac), 1)
+    seeds = []  # (score, prop_idx, class)
+    for c in present:
+        order = np.argsort(-scores[:, c], kind="stable")[:topk]
+        for r, i in enumerate(order):
+            if r == 0 or scores[i, c] >= thre:
+                seeds.append((scores[i, c], int(i), int(c)))
+    sboxes = np.array([boxes[i] for _, i, _ in seeds], np.float32)
+    sscores = np.array([s for s, _, _ in seeds], np.float32)
+    keep = nms_np(sboxes, sscores, nms_thr)
+    return {(c, i) for keep_i, (_, i, c) in zip(keep, seeds) if keep_i}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_mist_mining_parity(seed):
+    rng = np.random.RandomState(seed)
+    cap, n_valid, k = 64, 40, 20
+    boxes = _rand_boxes(rng, cap, 400, 600)
+    scores = rng.uniform(0, 0.2, (cap, k)).astype(np.float32)
+    valid = np.zeros(cap, bool)
+    valid[:n_valid] = True
+    present = [2, 7, 11]
+    oh = np.zeros(k, np.float32)
+    oh[present] = 1
+
+    gt = mist_mining(
+        jnp.asarray(scores), jnp.asarray(boxes), jnp.asarray(valid), jnp.asarray(oh),
+        mist_p=0.10, mist_thre=0.05, seed_cap=64,
+    )
+    got = {
+        (int(c), int(i))
+        for c, i, v in zip(np.asarray(gt.classes), np.asarray(gt.index), np.asarray(gt.valid))
+        if v
+    }
+    exp = mist_oracle(scores[:n_valid], boxes[:n_valid], present, 0.10, 0.05)
+    assert got == exp
+
+
+def test_mist_top1_always_kept():
+    # all scores below threshold: still one seed per present class (pre-NMS)
+    rng = np.random.RandomState(3)
+    cap, k = 32, 20
+    boxes = _rand_boxes(rng, cap, 300, 300)
+    scores = rng.uniform(0, 0.01, (cap, k)).astype(np.float32)
+    oh = np.zeros(k, np.float32)
+    oh[[0, 5]] = 1
+    gt = mist_mining(
+        jnp.asarray(scores), jnp.asarray(boxes), jnp.ones(cap, bool), jnp.asarray(oh),
+        mist_p=0.10, mist_thre=0.05, seed_cap=32,
+    )
+    kept_cls = set(np.asarray(gt.classes)[np.asarray(gt.valid)].tolist())
+    assert {0, 5} <= kept_cls or len(kept_cls) > 0  # NMS may merge same-box seeds
+    # the top-1 seed of each present class entered NMS:
+    pre_nms = set(np.asarray(gt.classes)[np.asarray(gt.scores) > -1].tolist())
+    assert {0, 5} <= pre_nms
+
+
+def test_label_and_sample_bands():
+    # one gt box; proposals at controlled IoUs -> fg / ignore / bg bands
+    gt_box = np.array([[100, 100, 200, 200]], np.float32)
+    props = np.array(
+        [
+            [100, 100, 200, 200],   # IoU 1.0 -> fg
+            [100, 100, 200, 185],   # IoU 0.85 -> fg
+            [100, 100, 200, 155],   # IoU 0.55 -> ignore
+            [100, 100, 200, 130],   # IoU 0.30 -> bg
+        ],
+        np.float32,
+    )
+    from sos_wsod_tpu.core.instances import GroundTruth
+
+    cap = 8
+    gt = GroundTruth(
+        boxes=jnp.asarray(np.vstack([gt_box, np.zeros((cap - 1, 4), np.float32)])),
+        classes=jnp.asarray(np.array([3] + [0] * (cap - 1), np.int32)),
+        scores=jnp.asarray(np.array([0.9] + [0] * (cap - 1), np.float32)),
+        weights=jnp.asarray(np.array([0.9] + [0] * (cap - 1), np.float32)),
+        index=jnp.asarray(np.zeros(cap, np.int32)),
+        valid=jnp.asarray(np.array([True] + [False] * (cap - 1))),
+    )
+    m = Matcher([0.5, 0.6], [0, -1, 1])
+    cls, w, idx, fg = label_and_sample(gt, jnp.asarray(props), jnp.ones(4, bool), m, 20)
+    assert np.asarray(cls).tolist() == [3, 3, -1, 20]
+    np.testing.assert_allclose(np.asarray(w), [0.9, 0.9, 0.0, 0.9], atol=1e-6)
+    assert np.asarray(fg).tolist() == [True, True, False, False]
+
+
+def _tiny_model(**kw):
+    return MultiInputRCNN(
+        num_classes=20, seed_cap=32, dan_dims=(64, 64),
+        detections_per_image=16, **kw,
+    )
+
+
+def _tiny_batch(rng, p=32, h1=64, w1=96, h2=96, w2=128):
+    boxes1 = _rand_boxes(rng, p, h1, w1)
+    boxes2 = boxes1 * np.array([w2 / w1, h2 / h1, w2 / w1, h2 / h1], np.float32)
+    boxes1f = boxes1.copy()
+    boxes1f[:, [0, 2]] = w1 - boxes1[:, [2, 0]]
+    boxes2f = boxes2.copy()
+    boxes2f[:, [0, 2]] = w2 - boxes2[:, [2, 0]]
+    valid = np.ones(p, bool)
+    valid[-4:] = False
+    oh = np.zeros(20, np.float32)
+    oh[[1, 4]] = 1
+    return {
+        "images_s1": jnp.asarray(rng.uniform(0, 255, (2, h1, w1, 3)).astype(np.float32)),
+        "images_s2": jnp.asarray(rng.uniform(0, 255, (2, h2, w2, 3)).astype(np.float32)),
+        "valid_hw_s1": jnp.asarray(np.array([[h1, w1], [h1, w1]], np.int32)),
+        "valid_hw_s2": jnp.asarray(np.array([[h2, w2], [h2, w2]], np.int32)),
+        "boxes": jnp.asarray(np.stack([boxes1, boxes1f, boxes2, boxes2f])),
+        "objectness": jnp.asarray(rng.uniform(0, 1, p).astype(np.float32)),
+        "prop_valid": jnp.asarray(valid),
+        "gt_classes_oh": jnp.asarray(oh),
+    }
+
+
+def test_stage1_train_loss_and_grads():
+    model = _tiny_model()
+    rng = np.random.RandomState(0)
+    batch = _tiny_batch(rng)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, train=True,
+    )["params"]
+
+    def loss_fn(p):
+        losses = model.apply(
+            {"params": p}, batch, train=True, rngs={"dropout": jax.random.PRNGKey(2)}
+        )
+        return sum(losses.values()), losses
+
+    (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    expected_keys = {"loss_cls"} | {f"loss_cls_r{k}" for k in range(4)} | {
+        f"loss_box_reg_r{k}" for k in range(4)
+    }
+    assert set(losses.keys()) == expected_keys
+    assert np.isfinite(float(total))
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    # frozen stages get zero grads via stop_gradient
+    g1 = grads["backbone"]["plain1"]["conv1"]["kernel"]
+    assert float(jnp.abs(g1).max()) == 0.0
+    g5 = grads["backbone"]["plain5"]["conv1"]["kernel"]
+    assert float(jnp.abs(g5).max()) > 0.0
+
+
+def test_stage1_inference_shapes():
+    model = _tiny_model()
+    rng = np.random.RandomState(1)
+    p, h, w = 32, 64, 96
+    boxes = _rand_boxes(rng, p, h, w)
+    batch = {
+        "image": jnp.asarray(rng.uniform(0, 255, (h, w, 3)).astype(np.float32)),
+        "valid_hw": jnp.asarray(np.array([h, w], np.int32)),
+        "boxes": jnp.asarray(boxes),
+        "objectness": jnp.asarray(rng.uniform(0, 1, p).astype(np.float32)),
+        "prop_valid": jnp.asarray(np.ones(p, bool)),
+        "image_hw": jnp.asarray(np.array([h, w], np.float32)),
+    }
+    tb = _tiny_batch(rng)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, tb, train=True
+    )["params"]
+    det, all_scores, all_boxes = model.apply({"params": params}, batch, train=False)
+    assert det.boxes.shape == (16, 4)
+    assert all_scores.shape == (p, 21)
+    assert all_boxes.shape == (p, 80)
+    s = np.asarray(all_scores)
+    np.testing.assert_allclose(s.sum(axis=1), 1.0, atol=1e-4)  # mean of softmaxes
+    assert np.asarray(det.valid).sum() > 0
