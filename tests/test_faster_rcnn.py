@@ -1,0 +1,135 @@
+"""Stage-2/3 Faster R-CNN stack: anchors, RPN, ROI heads, meta-arch e2e."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sos_wsod_tpu.models.anchors import AnchorGenerator, cell_anchors
+from sos_wsod_tpu.core.sampling import subsample_masks
+
+
+def test_cell_anchors_d2_values():
+    # d2 documented example: size 64, ratios (0.5, 1, 2)
+    a = cell_anchors([64], [0.5, 1.0, 2.0])
+    areas = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    np.testing.assert_allclose(areas, 64.0 * 64.0, rtol=1e-5)
+    ratios = (a[:, 3] - a[:, 1]) / (a[:, 2] - a[:, 0])
+    np.testing.assert_allclose(sorted(ratios), [0.5, 1.0, 2.0], rtol=1e-5)
+
+
+def test_grid_anchor_layout():
+    gen = AnchorGenerator(sizes=[[32]], aspect_ratios=[[1.0]], strides=[4])
+    (anch,) = gen([(2, 3)])
+    assert anch.shape == (6, 4)
+    # row-major over (y, x): second anchor center x moves by stride
+    c0x = (anch[0, 0] + anch[0, 2]) / 2
+    c1x = (anch[1, 0] + anch[1, 2]) / 2
+    c3y = (anch[3, 1] + anch[3, 3]) / 2
+    assert c1x - c0x == pytest.approx(4.0)
+    assert c3y == pytest.approx((anch[0, 1] + anch[0, 3]) / 2 + 4.0)
+
+
+def test_subsample_budgets():
+    rng = jax.random.PRNGKey(0)
+    pos = jnp.asarray(np.arange(100) < 10)        # 10 positives
+    neg = jnp.asarray((np.arange(100) >= 10) & (np.arange(100) < 90))
+    pk, nk = subsample_masks(pos, neg, 32, 0.25, rng)
+    assert int(pk.sum()) == 8  # min(32*0.25, 10)
+    assert int(nk.sum()) == 24
+    assert not bool((pk & ~pos).any())
+    assert not bool((nk & ~neg).any())
+    # fewer positives than budget
+    pos2 = jnp.asarray(np.arange(100) < 2)
+    pk2, nk2 = subsample_masks(pos2, neg, 32, 0.25, rng)
+    assert int(pk2.sum()) == 2
+    assert int(nk2.sum()) == 30
+
+
+def _frcnn_model():
+    from sos_wsod_tpu.models.meta.rcnn import GeneralizedRCNN
+
+    rpn_kw = dict(
+        pre_nms_topk_train=64, post_nms_topk_train=32,
+        pre_nms_topk_test=64, post_nms_topk_test=32,
+    )
+    roi_kw = dict(batch_size_per_image=32, fc_dim=64, detections_per_image=16)
+    return GeneralizedRCNN(num_classes=20, rpn_kw=rpn_kw, roi_kw=roi_kw)
+
+
+def _frcnn_batch(rng, h=64, w=64, g=8, n_gt=2):
+    gt_boxes = np.zeros((g, 4), np.float32)
+    gt_classes = np.zeros((g,), np.int32)
+    gt_valid = np.zeros((g,), bool)
+    for i in range(n_gt):
+        x1, y1 = rng.uniform(0, w - 20, 2)
+        gt_boxes[i] = [x1, y1, x1 + rng.uniform(10, 19), y1 + rng.uniform(10, 19)]
+        gt_classes[i] = rng.randint(20)
+        gt_valid[i] = True
+    return {
+        "image": jnp.asarray(rng.uniform(0, 255, (h, w, 3)).astype(np.float32)),
+        "image_hw": jnp.asarray(np.array([h, w], np.float32)),
+        "gt_boxes": jnp.asarray(gt_boxes),
+        "gt_classes": jnp.asarray(gt_classes),
+        "gt_valid": jnp.asarray(gt_valid),
+    }
+
+
+@pytest.fixture(scope="module")
+def frcnn_setup():
+    model = _frcnn_model()
+    rng = np.random.RandomState(0)
+    batch = _frcnn_batch(rng)
+    params = model.init(jax.random.PRNGKey(0), batch, jax.random.PRNGKey(1))["params"]
+    return model, params, batch
+
+
+def test_frcnn_supervised_losses_and_grads(frcnn_setup):
+    model, params, batch = frcnn_setup
+
+    def loss_fn(p):
+        losses = model.apply({"params": p}, batch, jax.random.PRNGKey(2))
+        return sum(jnp.asarray(v, jnp.float32) for v in losses.values()), losses
+
+    (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert set(losses) == {"loss_cls", "loss_box_reg", "loss_rpn_cls", "loss_rpn_loc"}
+    assert np.isfinite(float(total))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    # frozen res2 (freeze_at=2) gets zero grads; res3+ gets nonzero somewhere
+    g2 = grads["backbone"]["bottom_up"]["res2_block0"]["conv1"]["kernel"]
+    assert float(jnp.abs(g2).max()) == 0.0
+    g4 = grads["backbone"]["bottom_up"]["res4_block0"]["conv1"]["kernel"]
+    assert float(jnp.abs(g4).max()) > 0.0
+    # FrozenBN params always zero-grad
+    gbn = grads["backbone"]["bottom_up"]["res4_block0"]["conv1_norm"]["weight"]
+    assert float(jnp.abs(gbn).max()) == 0.0
+
+
+def test_frcnn_no_gt_image(frcnn_setup):
+    model, params, batch = frcnn_setup
+    batch = dict(batch)
+    batch["gt_valid"] = jnp.zeros_like(batch["gt_valid"])
+    losses = model.apply({"params": params}, batch, jax.random.PRNGKey(3))
+    for v in losses.values():
+        assert np.isfinite(float(v))
+
+
+def test_frcnn_val_loss_branch(frcnn_setup):
+    model, params, batch = frcnn_setup
+    losses = model.apply({"params": params}, batch, jax.random.PRNGKey(4), branch="val_loss")
+    assert np.isfinite(float(sum(jnp.asarray(v, jnp.float32) for v in losses.values())))
+
+
+def test_frcnn_inference(frcnn_setup):
+    model, params, batch = frcnn_setup
+    det, (pb, pl, pv), (probs, pred_boxes) = model.apply(
+        {"params": params}, batch, branch="unsup_data_weak"
+    )
+    assert det.boxes.shape == (16, 4)
+    assert pb.shape == (32, 4)
+    assert probs.shape == (32, 21)
+    s = np.asarray(probs)
+    np.testing.assert_allclose(s.sum(axis=1), 1.0, atol=1e-4)
+    # proposals inside the image
+    b = np.asarray(pb)[np.asarray(pv)]
+    assert (b[:, 0] >= 0).all() and (b[:, 2] <= 64).all()
