@@ -86,6 +86,9 @@ def get_default_cfg() -> CN:
     _C.MODEL.RPN.POST_NMS_TOPK_TEST = 1000
     _C.MODEL.RPN.NMS_THRESH = 0.7
     _C.MODEL.RPN.CONV_DIMS = [-1]
+    # ubteacher fork extras (unbias/ubteacher/config.py:12-13)
+    _C.MODEL.RPN.UNSUP_LOSS_WEIGHT = 1.0
+    _C.MODEL.RPN.LOSS = "CrossEntropy"
 
     _C.MODEL.ROI_HEADS = CN()
     _C.MODEL.ROI_HEADS.NAME = "Res5ROIHeads"
@@ -220,6 +223,7 @@ def get_default_cfg() -> CN:
     _C.TEST.PRECISE_BN.ENABLED = False
     _C.TEST.PRECISE_BN.NUM_ITER = 200
     _C.TEST.VAL_LOSS = True
+    _C.TEST.EVALUATOR = "COCOeval"
 
     # ------------------------------------------------------------- WSL (stage 1)
     # reference: uwsod/projects/WSL/wsl/config/defaults.py:7-88
@@ -279,6 +283,7 @@ def get_default_cfg() -> CN:
     _C.SEMISUPNET.LOSS_WEIGHT_TYPE = "standard"
     _C.SEMISUPNET.BURN_UP_WITH_STRONG_AUG = False
     _C.SEMISUPNET.HAS_MULTI_LABEL = False
+    _C.SEMISUPNET.EVAL_TEACHER = True
 
     _C.EMAMODEL = CN()
     _C.EMAMODEL.SUP_CONSIST = True

@@ -29,6 +29,11 @@ class Transform:
         direct arithmetic."""
         raise NotImplementedError
 
+    def inverse_box(self, boxes: np.ndarray) -> np.ndarray:
+        """Map boxes from transformed coords back to input coords (the TTA
+        wrappers' inverse-transform of predictions)."""
+        raise NotImplementedError
+
     @property
     def output_size(self) -> Tuple[int, int]:  # (h, w)
         raise NotImplementedError
@@ -42,6 +47,9 @@ class NoOpTransform(Transform):
         return img
 
     def apply_box(self, boxes):
+        return boxes
+
+    def inverse_box(self, boxes):
         return boxes
 
     @property
@@ -82,6 +90,12 @@ class ResizeTransform(Transform):
         boxes[:, 1::2] *= self.new_h * 1.0 / self.h
         return boxes
 
+    def inverse_box(self, boxes: np.ndarray) -> np.ndarray:
+        out = np.asarray(boxes, np.float64).copy()
+        out[:, 0::2] *= self.w * 1.0 / self.new_w
+        out[:, 1::2] *= self.h * 1.0 / self.new_h
+        return out
+
     @property
     def output_size(self):
         return (self.new_h, self.new_w)
@@ -96,6 +110,12 @@ class HFlipTransform(Transform):
 
     def apply_box(self, boxes):
         out = boxes.astype(np.float32).copy()
+        out[:, 0] = self.w - boxes[:, 2]
+        out[:, 2] = self.w - boxes[:, 0]
+        return out
+
+    def inverse_box(self, boxes):
+        out = np.asarray(boxes, np.float64).copy()
         out[:, 0] = self.w - boxes[:, 2]
         out[:, 2] = self.w - boxes[:, 0]
         return out
@@ -119,6 +139,12 @@ class CropTransform(Transform):
         out[:, 1::2] -= self.y0
         return out
 
+    def inverse_box(self, boxes):
+        out = np.asarray(boxes, np.float64).copy()
+        out[:, 0::2] += self.x0
+        out[:, 1::2] += self.y0
+        return out
+
     @property
     def output_size(self):
         return (self.ch, self.cw)
@@ -136,6 +162,11 @@ class TransformList(Transform):
     def apply_box(self, boxes):
         for t in self.transforms:
             boxes = t.apply_box(boxes)
+        return boxes
+
+    def inverse_box(self, boxes):
+        for t in reversed(self.transforms):
+            boxes = t.inverse_box(boxes)
         return boxes
 
     def __add__(self, other: "TransformList") -> "TransformList":

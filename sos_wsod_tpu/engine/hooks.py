@@ -131,6 +131,57 @@ class LRSchedulerHook(HookBase):
         )
 
 
+class LossEvalHook(HookBase):
+    """Periodic validation-loss evaluation through branch="val_loss".
+
+    Parity target: ubteacher LossEvalHook (unbias/ubteacher/engine/hooks.py:
+    10-119) — runs the model in loss mode over a val stream and logs the mean
+    total loss (for both student and teacher when a teacher is present)."""
+
+    def __init__(self, eval_period: int, model, val_iter_fn: Callable[[], "object"],
+                 max_batches: int = 25):
+        self._period = eval_period
+        self._model = model
+        self._val_iter_fn = val_iter_fn
+        self._max_batches = max_batches
+        self._loss_fn = None
+
+    def _compute(self, params) -> float:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        if self._loss_fn is None:
+            @jax.jit
+            def loss_one(params, batch, key):
+                losses = self._model.apply(
+                    {"params": params}, batch, key, branch="val_loss"
+                )
+                return sum(jnp.asarray(v, jnp.float32) for v in losses.values())
+
+            self._loss_fn = loss_one
+        totals = []
+        key = jax.random.PRNGKey(0)
+        for i, batch in enumerate(self._val_iter_fn()):
+            if i >= self._max_batches:
+                break
+            totals.append(float(self._loss_fn(params, batch, jax.random.fold_in(key, i))))
+        return float(np.mean(totals)) if totals else 0.0
+
+    def after_step(self):
+        if self._period <= 0 or (self.trainer.iter + 1) % self._period != 0:
+            return
+        state = self.trainer.state
+        self.trainer.storage.put_scalar(
+            "val_total_loss_student", self._compute(state["params"]), smoothing_hint=False
+        )
+        if "teacher_params" in state:
+            self.trainer.storage.put_scalar(
+                "val_total_loss_teacher", self._compute(state["teacher_params"]),
+                smoothing_hint=False,
+            )
+
+
 class JaxProfilerHook(HookBase):
     """Dump an xplane trace for iterations in [start, stop) — the TPU-native
     replacement of the AutogradProfiler chrome-trace hook."""

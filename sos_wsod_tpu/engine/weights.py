@@ -1,0 +1,160 @@
+"""Pretrained-weight loading: detectron2/caffe2 pickle -> flax param trees.
+
+Parity target: the reference loads torch/caffe weights through fvcore's
+DetectionCheckpointer name-matching (detectron2/detectron2/checkpoint/
+c2_model_loading.py). We implement the two concrete mappings the SoS pipeline
+needs:
+ - VGG16 WSL checkpoints / VGG_ILSVRC_16_layers_v1_d2.pkl
+   (backbone.plainX.convY.*, roi_heads.box_head.fcY.*,
+   roi_heads.box_predictor.{cls,det}.*, roi_heads.box_refinery_K.*)
+ - caffe2 ImageNet R-50.pkl (conv1_w, res{s}_{b}_branch{1,2x}_{w,bn_s,bn_b})
+Layout conversion: torch conv OIHW -> flax HWIO; torch FC (out, in) -> flax
+(in, out); caffe2 affine BN scale/bias -> FrozenBN weight/bias with zero mean /
+unit variance (caffe2 checkpoints carry folded statistics).
+"""
+from __future__ import annotations
+
+import logging
+import pickle
+from typing import Any, Dict
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def load_pkl(path: str) -> Dict[str, np.ndarray]:
+    with open(path, "rb") as f:
+        data = pickle.load(f, encoding="latin1")
+    blobs = data.get("model", data)
+    return {k: np.asarray(v) for k, v in blobs.items() if isinstance(v, np.ndarray) or hasattr(v, "shape")}
+
+
+def _conv_w(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))  # OIHW -> HWIO
+
+
+def _fc_w(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(w.T)
+
+
+def _set(tree: Dict, path, value):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def vgg_wsl_param_tree(blobs: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Map d2-WSL names to our MultiInputRCNN/GeneralizedRCNNWSL param tree.
+    Unknown keys are skipped with a log line (like the reference's heuristic
+    matcher reporting unused blobs)."""
+    out: Dict[str, Any] = {}
+    for key, v in blobs.items():
+        k = key[len("backbone."):] if key.startswith("backbone.") else key
+        parts = k.split(".")
+        if parts[0].startswith("plain") and len(parts) == 3:
+            stage, conv, kind = parts
+            leaf = "kernel" if kind == "weight" else "bias"
+            val = _conv_w(v) if kind == "weight" else v
+            _set(out, ("backbone", stage, conv, leaf), val)
+        elif key.startswith("roi_heads.box_head.fc"):
+            _, _, fc, kind = key.split(".")
+            leaf = "kernel" if kind == "weight" else "bias"
+            val = _fc_w(v) if kind == "weight" else v
+            _set(out, ("roi_heads", "dan", fc, leaf), val)
+        elif key.startswith("roi_heads.box_predictor."):
+            _, _, name, kind = key.split(".")
+            if name not in ("cls", "det"):
+                logger.info("skip %s", key)
+                continue
+            leaf = "kernel" if kind == "weight" else "bias"
+            val = _fc_w(v) if kind == "weight" else v
+            _set(out, ("roi_heads", "wsddn", name, leaf), val)
+        elif key.startswith("roi_heads.box_refinery_"):
+            _, refinery, name, kind = key.split(".")
+            leaf = "kernel" if kind == "weight" else "bias"
+            val = _fc_w(v) if kind == "weight" else v
+            _set(out, ("roi_heads", refinery, name, leaf), val)
+        else:
+            logger.info("unmatched checkpoint key: %s", key)
+    return out
+
+
+_BRANCH2 = {"branch2a": "conv1", "branch2b": "conv2", "branch2c": "conv3"}
+
+
+def resnet_c2_param_tree(blobs: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Map caffe2 ImageNet ResNet blobs to our ResNet module tree
+    (bottom_up names: stem/conv1, res{s}_block{b}/conv{i} + _norm)."""
+    out: Dict[str, Any] = {}
+
+    def put_norm(path, s, b):
+        _set(out, path + ("weight",), s)
+        _set(out, path + ("bias",), b)
+        _set(out, path + ("running_mean",), np.zeros_like(b))
+        _set(out, path + ("running_var",), np.ones_like(s))
+
+    # stem
+    if "conv1_w" in blobs:
+        _set(out, ("stem", "conv1", "kernel"), _conv_w(blobs["conv1_w"]))
+        put_norm(("stem", "conv1_norm"), blobs["res_conv1_bn_s"], blobs["res_conv1_bn_b"])
+    for key, v in blobs.items():
+        if not key.startswith("res") or key.startswith("res_conv1"):
+            continue
+        parts = key.split("_")
+        if len(parts) < 4:
+            continue
+        stage = parts[0]            # res2..res5
+        block = parts[1]            # 0..N
+        branch = parts[2]           # branch1 / branch2a...
+        rest = "_".join(parts[3:])  # w | bn_s | bn_b
+        mod = f"{stage}_block{block}"
+        if branch == "branch1":
+            conv = "shortcut"
+        elif branch in _BRANCH2:
+            conv = _BRANCH2[branch]
+        else:
+            continue
+        norm = f"{conv}_norm"
+        if rest == "w":
+            _set(out, (mod, conv, "kernel"), _conv_w(v))
+        elif rest == "bn_s":
+            b = blobs[key[:-1] + "b"]
+            put_norm((mod, norm), v, b)
+    return out
+
+
+def merge_pretrained(params: Dict[str, Any], pretrained: Dict[str, Any], path=()) -> Dict[str, Any]:
+    """Recursively overwrite matching leaves of ``params`` with ``pretrained``
+    values (shape-checked); unmatched pretrained entries are reported."""
+    out = {}
+    for k, v in params.items():
+        if isinstance(v, dict):
+            out[k] = merge_pretrained(v, pretrained.get(k, {}), path + (k,))
+        else:
+            if k in pretrained:
+                pv = np.asarray(pretrained[k])
+                assert pv.shape == tuple(v.shape), (
+                    f"shape mismatch at {'/'.join(path + (k,))}: "
+                    f"{pv.shape} vs {tuple(v.shape)}"
+                )
+                out[k] = pv.astype(np.asarray(v).dtype)
+            else:
+                out[k] = v
+    return out
+
+
+def load_vgg_wsl_weights(params: Dict[str, Any], path: str) -> Dict[str, Any]:
+    return merge_pretrained(params, vgg_wsl_param_tree(load_pkl(path)))
+
+
+def load_resnet_imagenet_weights(params: Dict[str, Any], path: str) -> Dict[str, Any]:
+    """Merge caffe2 R-50 ImageNet blobs into a GeneralizedRCNN param tree
+    (backbone.bottom_up)."""
+    tree = resnet_c2_param_tree(load_pkl(path))
+    out = dict(params)
+    bb = dict(params["backbone"])
+    bb["bottom_up"] = merge_pretrained(params["backbone"]["bottom_up"], tree)
+    out["backbone"] = bb
+    return out

@@ -88,7 +88,12 @@ class BottleneckBlock(nn.Module):
         return nn.relu(out + sc)
 
 
-_DEPTH_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
+_DEPTH_BLOCKS = {
+    14: (1, 1, 1, 1),  # test-only mini depth: 1 bottleneck per stage
+    50: (3, 4, 6, 3),
+    101: (3, 4, 23, 3),
+    152: (3, 8, 36, 3),
+}
 
 
 class ResNet(nn.Module):

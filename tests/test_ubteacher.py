@@ -1,0 +1,209 @@
+"""Stage-3 Unbiased-Teacher machinery: EMA, pseudo-label thresholding, the
+one-program semisup step, two-crop mapper, dataseed splits."""
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sos_wsod_tpu.engine.ubteacher import (
+    ema_update,
+    make_semisup_step,
+    make_supervised_step,
+    threshold_pseudo_boxes,
+)
+from sos_wsod_tpu.solver.build import torch_sgd, warmup_multistep_lr
+from sos_wsod_tpu.tools.splits import (
+    bisect_percent_direct,
+    bisect_percent_for_k,
+    generate_base_split,
+    split_by_losses,
+)
+
+
+def test_ema_update():
+    t = {"w": jnp.ones(3)}
+    s = {"w": jnp.zeros(3)}
+    out = ema_update(t, s, 0.9996)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.9996, rtol=1e-6)
+    out0 = ema_update(t, s, 0.0)  # full copy
+    np.testing.assert_allclose(np.asarray(out0["w"]), 0.0)
+
+
+def test_threshold_pseudo_boxes_multilabel():
+    boxes = jnp.zeros((4, 4))
+    scores = jnp.asarray([0.9, 0.8, 0.6, 0.95])
+    classes = jnp.asarray([2, 5, 2, 7])
+    valid = jnp.asarray([True, True, True, False])
+    ml = jnp.zeros(20).at[jnp.asarray([2])].set(1.0)
+    keep = threshold_pseudo_boxes(boxes, scores, classes, valid, ml, 0.7, True)
+    assert np.asarray(keep).tolist() == [True, False, False, False]
+    keep_nml = threshold_pseudo_boxes(boxes, scores, classes, valid, ml, 0.7, False)
+    assert np.asarray(keep_nml).tolist() == [True, True, False, False]
+
+
+def test_bisect_percent():
+    # reproduces split_single semantics: int(length * middle) == k
+    p = bisect_percent_for_k(5011, 2000)
+    assert int(5011 * (p / 100)) == 2000
+    p2 = bisect_percent_direct(5011, 5010)
+    assert int(p2 / 100 * 5011) == 5010
+    seed = generate_base_split(100)
+    (percent, inner), = seed.items()
+    assert inner["1"] == list(range(99))
+    assert int(float(percent) / 100 * 100) == 99
+
+
+def test_split_by_losses_orders_ascending():
+    ids = [11, 22, 33, 44]
+    losses = [0.9, 0.1, 0.5, 0.3]
+    split, percent = split_by_losses(ids, losses, 2)
+    (p, inner), = split.items()
+    assert inner["1"] == [1, 3]  # positions of the two lowest losses
+    assert float(p) == percent
+
+
+def test_strong_augmentation_photometric_only():
+    from sos_wsod_tpu.data.strong_augmentation import build_strong_augmentation
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (40, 60, 3)).astype(np.uint8)
+    aug = build_strong_augmentation(seed=0)
+    out = aug(img)
+    assert out.shape == img.shape and out.dtype == np.float32
+    out2 = build_strong_augmentation(seed=0)(img)
+    np.testing.assert_allclose(out, out2)  # deterministic per seed
+
+
+def test_two_crop_mapper_geometry_shared():
+    from sos_wsod_tpu.data.mapper_twocrop import DatasetMapperTwoCropSeparate
+
+    rng = np.random.RandomState(0)
+    d = {
+        "image": rng.randint(0, 255, (50, 70, 3)).astype(np.uint8),
+        "image_id": "000001",
+        "annotations": [
+            {"category_id": 3, "bbox": [10.0, 10.0, 40.0, 30.0]},
+            {"category_id": 7, "bbox": [5.0, 20.0, 25.0, 45.0]},
+        ],
+        "multi_label": [3, 7],
+    }
+    mapper = DatasetMapperTwoCropSeparate(
+        min_size_train=[48], max_size_train=96, gt_capacity=8,
+        num_classes=20, size_divisibility=32, seed=5,
+    )
+    strong, weak = mapper(d)
+    assert strong["image"].shape == weak["image"].shape
+    np.testing.assert_allclose(strong["gt_boxes"], weak["gt_boxes"])
+    assert strong["gt_valid"].sum() == 2
+    assert strong["multi_label_oh"][3] == 1 and strong["multi_label_oh"][7] == 1
+    assert strong["image"].shape[0] % 32 == 0
+
+
+def test_divide_label_unlabel(tmp_path):
+    from sos_wsod_tpu.data.mapper_twocrop import divide_label_unlabel
+
+    dicts = [{"image_id": i} for i in range(10)]
+    seedfile = tmp_path / "seed.json"
+    seedfile.write_text(json.dumps({"20.0": {"1": [2, 5]}}))
+    lab, unlab = divide_label_unlabel(dicts, 20.0, 1, str(seedfile))
+    assert [d["image_id"] for d in lab] == [2, 5]
+    assert len(unlab) == 8
+
+
+def _tiny_frcnn():
+    from sos_wsod_tpu.models.meta.rcnn import GeneralizedRCNN
+
+    rpn_kw = dict(
+        pre_nms_topk_train=64, post_nms_topk_train=32,
+        pre_nms_topk_test=64, post_nms_topk_test=32,
+    )
+    roi_kw = dict(batch_size_per_image=32, fc_dim=64, detections_per_image=8)
+    # depth 14 keeps the one-program semisup compile tractable on CPU
+    return GeneralizedRCNN(num_classes=20, depth=14, fpn_out_channels=64,
+                           rpn_kw=rpn_kw, roi_kw=roi_kw)
+
+
+def _image_batch(rng, b, h=64, w=64, g=8):
+    out = []
+    for _ in range(b):
+        gt_boxes = np.zeros((g, 4), np.float32)
+        gt_classes = np.zeros((g,), np.int32)
+        gt_valid = np.zeros((g,), bool)
+        for i in range(2):
+            x1, y1 = rng.uniform(0, w - 20, 2)
+            gt_boxes[i] = [x1, y1, x1 + 15, y1 + 15]
+            gt_classes[i] = rng.randint(20)
+            gt_valid[i] = True
+        out.append({
+            "image": rng.uniform(0, 255, (h, w, 3)).astype(np.float32),
+            "image_hw": np.array([h, w], np.float32),
+            "gt_boxes": gt_boxes, "gt_classes": gt_classes, "gt_valid": gt_valid,
+            "multi_label_oh": np.ones(20, np.float32),
+        })
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *out)
+
+
+def test_semisup_step_one_program():
+    model = _tiny_frcnn()
+    rng = np.random.RandomState(0)
+    label_q = _image_batch(rng, 1)
+    label_k = _image_batch(rng, 1)
+    unlabel_q = _image_batch(rng, 1)
+    unlabel_k = _image_batch(rng, 1)
+    batch = {"label_q": label_q, "label_k": label_k,
+             "unlabel_q": unlabel_q, "unlabel_k": unlabel_k}
+
+    one = jax.tree_util.tree_map(lambda x: x[0], label_k)
+    params = model.init(jax.random.PRNGKey(0), one, jax.random.PRNGKey(1))["params"]
+    tx = torch_sgd(warmup_multistep_lr(0.01, (100,)), momentum=0.9)
+    state = {
+        "params": params,
+        "teacher_params": jax.tree_util.tree_map(lambda x: x + 1.0, params),  # distinct
+        "opt_state": tx.init(params),
+        "iter": jnp.zeros((), jnp.int32),
+    }
+    step = make_semisup_step(
+        model, tx, unsup_loss_weight=2.0, ema_keep_rate=0.9996,
+        bbox_threshold=0.7, has_multi_label=True, burn_up_step=0,
+        pseudo_cap=8, donate=False,
+    )
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["total_loss"]))
+    # iter == burn_up_step (0) -> teacher became an exact student copy
+    diff = jax.tree_util.tree_map(
+        lambda t, s: float(jnp.abs(t - s).max()),
+        new_state["teacher_params"], state["params"],
+    )
+    assert max(jax.tree_util.tree_leaves(diff)) == 0.0
+    # pseudo losses present, reg zeroed in total but reported
+    assert "loss_cls_pseudo" in metrics and "loss_box_reg_pseudo" in metrics
+    # student moved
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), new_state["params"], state["params"]
+    )
+    assert max(jax.tree_util.tree_leaves(d)) > 0
+
+    # second step: EMA keeps teacher close to previous teacher
+    state2 = new_state
+    new_state2, _ = step(state2, batch, jax.random.PRNGKey(3))
+    dd = jax.tree_util.tree_map(
+        lambda t0, t1: float(jnp.abs(t0 - t1).max()),
+        state2["teacher_params"], new_state2["teacher_params"],
+    )
+    assert max(jax.tree_util.tree_leaves(dd)) < 1e-2
+
+
+def test_supervised_step_runs():
+    model = _tiny_frcnn()
+    rng = np.random.RandomState(1)
+    batch = _image_batch(rng, 2)
+    one = jax.tree_util.tree_map(lambda x: x[0], batch)
+    params = model.init(jax.random.PRNGKey(0), one, jax.random.PRNGKey(1))["params"]
+    tx = torch_sgd(warmup_multistep_lr(0.01, (100,)), momentum=0.9)
+    state = {"params": params, "opt_state": tx.init(params), "iter": jnp.zeros((), jnp.int32)}
+    step = make_supervised_step(model, tx, donate=False)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert int(new_state["iter"]) == 1
