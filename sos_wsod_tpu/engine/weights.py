@@ -45,10 +45,28 @@ def _set(tree: Dict, path, value):
     node[path[-1]] = value
 
 
-def vgg_wsl_param_tree(blobs: Dict[str, np.ndarray]) -> Dict[str, Any]:
+def _fc6_w(w: np.ndarray, ph: int = 7, pw: int = 7) -> np.ndarray:
+    """DAN fc1 weight for channels-last pooled input: torch flattens pooled
+    ROIs in (c, h, w) order; the fused TPU pooler emits (h, w, c). Permute
+    the input dimension accordingly (rows of w.T). Non-spatial fc1 weights
+    (in_dim not divisible by ph*pw) pass through unpermuted."""
+    out_dim, in_dim = w.shape
+    if in_dim % (ph * pw) != 0:
+        return _fc_w(w)
+    c = in_dim // (ph * pw)
+    # old index: ci*ph*pw + hi*pw + wi -> new index: (hi*pw + wi)*c + ci
+    wt = w.reshape(out_dim, c, ph * pw).transpose(0, 2, 1).reshape(out_dim, in_dim)
+    return np.ascontiguousarray(wt.T)
+
+
+def vgg_wsl_param_tree(blobs: Dict[str, np.ndarray],
+                       dan_channels_last: bool = True) -> Dict[str, Any]:
     """Map d2-WSL names to our MultiInputRCNN/GeneralizedRCNNWSL param tree.
     Unknown keys are skipped with a log line (like the reference's heuristic
-    matcher reporting unused blobs)."""
+    matcher reporting unused blobs).
+
+    dan_channels_last: permute fc1 for the fused channels-last pooler (the
+    MultiInputRCNN ROIPool default); pass False for NCHW-layout heads."""
     out: Dict[str, Any] = {}
     for key, v in blobs.items():
         k = key[len("backbone."):] if key.startswith("backbone.") else key
@@ -61,7 +79,12 @@ def vgg_wsl_param_tree(blobs: Dict[str, np.ndarray]) -> Dict[str, Any]:
         elif key.startswith("roi_heads.box_head.fc"):
             _, _, fc, kind = key.split(".")
             leaf = "kernel" if kind == "weight" else "bias"
-            val = _fc_w(v) if kind == "weight" else v
+            if kind == "weight" and fc == "fc1" and dan_channels_last:
+                val = _fc6_w(v)
+            elif kind == "weight":
+                val = _fc_w(v)
+            else:
+                val = v
             _set(out, ("roi_heads", "dan", fc, leaf), val)
         elif key.startswith("roi_heads.box_predictor."):
             _, _, name, kind = key.split(".")

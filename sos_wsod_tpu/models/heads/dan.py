@@ -22,18 +22,24 @@ class DAN(nn.Module):
     conv_dims: Sequence[int] = ()
     fc_dims: Sequence[int] = (4096, 4096)
     dropout_rate: float = 0.5
+    # channels_last: input is (P, PH, PW, C), flattened in (h, w, c) order —
+    # no transpose copies on the hot path; converted torch fc1 weights are
+    # row-permuted accordingly at load time (engine/weights.py:_fc6_w).
+    channels_last: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
-        """x: (P, C, PH, PW) -> (P, fc_dims[-1])."""
+        """x: (P, C, PH, PW) (default) or (P, PH, PW, C) -> (P, fc_dims[-1])."""
         if self.conv_dims:
-            x = jnp.transpose(x, (0, 2, 3, 1))  # NHWC for convs
+            if not self.channels_last:
+                x = jnp.transpose(x, (0, 2, 3, 1))  # NHWC for convs
             for i, d in enumerate(self.conv_dims):
                 x = nn.Conv(d, (3, 3), padding=1, dtype=self.dtype,
                             kernel_init=_conv_init, name=f"conv{i + 1}")(x)
                 x = nn.relu(x)
-            x = jnp.transpose(x, (0, 3, 1, 2))
+            if not self.channels_last:
+                x = jnp.transpose(x, (0, 3, 1, 2))
         x = x.reshape(x.shape[0], -1)
         for i, d in enumerate(self.fc_dims):
             x = nn.Dense(d, dtype=self.dtype, kernel_init=_fc_init,

@@ -137,10 +137,16 @@ class OICRPlusHead(nn.Module):
     iou_labels: Sequence[int] = (0, -1, 1)
     seed_cap: int = 1024
     dan_dims: Sequence[int] = (4096, 4096)
+    # fused_pool: pooled features arrive channels-last (.., P, PH, PW, C) with
+    # the objectness weighting already fused into the pooler epilogue
+    # (ops/roi_pool.py row_scale) — the TPU fast path, saving a full pass
+    # over the 4-view pooled tensor plus its layout transposes.
+    fused_pool: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.dan = DAN(fc_dims=tuple(self.dan_dims), dtype=self.dtype)
+        self.dan = DAN(fc_dims=tuple(self.dan_dims),
+                       channels_last=self.fused_pool, dtype=self.dtype)
         self.wsddn = WSDDNHead(self.num_classes, dtype=self.dtype)
         self.refine = [
             OICRBranch(self.num_classes, has_reg=self.refine_reg[k], dtype=self.dtype,
@@ -151,9 +157,13 @@ class OICRPlusHead(nn.Module):
 
     def _features(self, pooled: jnp.ndarray, objectness: jnp.ndarray, train: bool) -> jnp.ndarray:
         """pooled: (..., P, C, PH, PW); objectness: (P,) raw MCG/SS logits.
-        Objectness weighting: feats * (objectness + 1) (roi_heads_oicrplus.py:200-221)."""
-        w = (objectness + 1.0).astype(pooled.dtype)
-        x = pooled * w[..., :, None, None, None]
+        Objectness weighting: feats * (objectness + 1) (roi_heads_oicrplus.py:200-221).
+        With ``fused_pool`` the weighting already happened inside the pooler."""
+        if self.fused_pool:
+            x = pooled
+        else:
+            w = (objectness + 1.0).astype(pooled.dtype)
+            x = pooled * w[..., :, None, None, None]
         flat = x.reshape((-1,) + x.shape[-3:])
         f = self.dan(flat, train=train)
         return f.reshape(x.shape[:-3] + (f.shape[-1],))

@@ -64,6 +64,7 @@ class MultiInputRCNN(nn.Module):
             mean_loss=self.mean_loss,
             seed_cap=self.seed_cap,
             dan_dims=tuple(self.dan_dims),
+            fused_pool=self.pooler_type == "ROIPool",
             dtype=self.dtype,
         )
         self.stride = 8 if self.conv5_dilation == 2 else 16
@@ -73,11 +74,16 @@ class MultiInputRCNN(nn.Module):
         std = jnp.asarray(self.pixel_std, self.dtype)
         return (images.astype(self.dtype) - mean) / std
 
-    def _pool(self, feat: jnp.ndarray, boxes: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    def _pool(self, feat: jnp.ndarray, boxes: jnp.ndarray, valid: jnp.ndarray,
+              row_scale: jnp.ndarray = None) -> jnp.ndarray:
         scale = 1.0 / self.stride
         res = (self.pooler_resolution, self.pooler_resolution)
         if self.pooler_type == "ROIPool":
-            return roi_pool(feat, boxes, valid, spatial_scale=scale, output_size=res)
+            # fast path: channels-last output + objectness weighting fused
+            # into the pool epilogue (see ops/roi_pool.py)
+            return roi_pool(feat, boxes, valid, row_scale,
+                            spatial_scale=scale, output_size=res,
+                            channels_last=True)
         if self.pooler_type in ("ROIAlign", "ROIAlignV2"):
             return roi_align(
                 feat, boxes, valid, spatial_scale=scale, output_size=res,
@@ -97,12 +103,15 @@ class MultiInputRCNN(nn.Module):
         f2 = self.backbone(self._normalize(batch["images_s2"]), batch["valid_hw_s2"])["plain5"]
         boxes = batch["boxes"]
         pv = batch["prop_valid"]
+        obn = None
+        if self.pooler_type == "ROIPool":
+            obn = (batch["objectness"] + 1.0).astype(self.dtype)
         pooled = jnp.stack(
             [
-                self._pool(f1[0], boxes[0], pv),
-                self._pool(f1[1], boxes[1], pv),
-                self._pool(f2[0], boxes[2], pv),
-                self._pool(f2[1], boxes[3], pv),
+                self._pool(f1[0], boxes[0], pv, obn),
+                self._pool(f1[1], boxes[1], pv, obn),
+                self._pool(f2[0], boxes[2], pv, obn),
+                self._pool(f2[1], boxes[3], pv, obn),
             ]
         )
         return self.roi_heads.losses(
@@ -117,7 +126,10 @@ class MultiInputRCNN(nn.Module):
         Returns (Detections, all_scores (P, K+1), all_boxes (P, K*4))."""
         feats = self.backbone(self._normalize(batch["image"][None]), batch["valid_hw"][None])
         feat = feats["plain5"][0]
-        pooled = self._pool(feat, batch["boxes"], batch["prop_valid"])
+        obn = None
+        if self.pooler_type == "ROIPool":
+            obn = (batch["objectness"] + 1.0).astype(self.dtype)
+        pooled = self._pool(feat, batch["boxes"], batch["prop_valid"], obn)
         scores, pred_boxes = self.roi_heads.predict(
             pooled, batch["boxes"], batch["objectness"], batch["prop_valid"]
         )

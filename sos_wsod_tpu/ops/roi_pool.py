@@ -38,7 +38,8 @@ _NEG = -3.0e38  # sentinel below any real activation, safely inside float32
 
 
 def _shift_max(x: jnp.ndarray, d: int, axis: int) -> jnp.ndarray:
-    """max(x[i], x[i+d]) along axis, filling past the end with -inf sentinel."""
+    """max(x[i], x[i+d]) along axis, filling past the end with a minimal
+    sentinel (-inf-like for floats, iinfo.min for integer key tables)."""
     n = x.shape[axis]
     if d >= n:
         return x
@@ -46,8 +47,10 @@ def _shift_max(x: jnp.ndarray, d: int, axis: int) -> jnp.ndarray:
     idx_main[axis] = slice(d, None)
     pad_shape = list(x.shape)
     pad_shape[axis] = d
+    sentinel = (jnp.iinfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.integer)
+                else _NEG)
     shifted = jnp.concatenate(
-        [x[tuple(idx_main)], jnp.full(pad_shape, _NEG, dtype=x.dtype)], axis=axis
+        [x[tuple(idx_main)], jnp.full(pad_shape, sentinel, dtype=x.dtype)], axis=axis
     )
     return jnp.maximum(x, shifted)
 
@@ -92,32 +95,9 @@ def _floor_log2(n: jnp.ndarray) -> jnp.ndarray:
     return (31 - jax.lax.clz(n.astype(jnp.int32))).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("output_size", "spatial_scale", "chunk"))
-def roi_pool(
-    feat: jnp.ndarray,
-    boxes: jnp.ndarray,
-    valid: jnp.ndarray,
-    *,
-    spatial_scale: float,
-    output_size: Tuple[int, int] = (7, 7),
-    chunk: int = 1024,
-) -> jnp.ndarray:
-    """ROI max pool.
-
-    Args:
-        feat: (H, W, C) feature map (channels-last).
-        boxes: (P, 4) XYXY in image coordinates.
-        valid: (P,) bool; padded slots produce zeros.
-    Returns:
-        (P, C, PH, PW) pooled features (d2 channel-first layout for FC parity).
-    """
-    h, w, c = feat.shape
-    ph_out, pw_out = output_size
-    lh = _num_levels(h // ph_out + 4)
-    lw = _num_levels(w // pw_out + 4)
-    t2 = build_max_table(feat, lh, lw)  # (lh, lw, H, W, C)
-    t2_flat = t2.reshape(lh * lw * h * w, c)
-
+def _bin_corner_indices(boxes, valid, h, w, ph_out, pw_out, lw, spatial_scale):
+    """Shared ROI->bin->4-corner-table-index computation. Returns
+    (corners [4 x (P, PH, PW) flat table idx], empty (P, PH, PW))."""
     # integer roi extents (round half up, torchvision `round`)
     boxes = jnp.where(valid[:, None], boxes, 0.0)  # guard padded-slot garbage
     scaled = boxes.astype(jnp.float32) * spatial_scale
@@ -156,23 +136,167 @@ def roi_pool(
         flat_idx(kh, kw, h2, w1),
         flat_idx(kh, kw, h2, w2),
     ]
+    return corners, empty
+
+
+@partial(jax.jit, static_argnames=("output_size", "spatial_scale", "chunk",
+                                   "exact_argmax_grad", "channels_last"))
+def roi_pool(
+    feat: jnp.ndarray,
+    boxes: jnp.ndarray,
+    valid: jnp.ndarray,
+    row_scale: jnp.ndarray = None,
+    *,
+    spatial_scale: float,
+    output_size: Tuple[int, int] = (7, 7),
+    chunk: int = 0,
+    exact_argmax_grad: bool = False,
+    channels_last: bool = False,
+) -> jnp.ndarray:
+    """ROI max pool.
+
+    Args:
+        feat: (H, W, C) feature map (channels-last).
+        boxes: (P, 4) XYXY in image coordinates.
+        valid: (P,) bool; padded slots produce zeros.
+        row_scale: optional (P,) per-ROI scale fused into the pooling
+            epilogue (the WSL heads' objectness weighting,
+            roi_heads_oicrplus.py:218-221) — saves a full read+write pass
+            over the pooled tensor.
+        chunk: 0 (default) pools all ROIs in one shot — the chunked lax.map
+            variant serializes into while loops that cost ~25% of the stage-1
+            step; use a chunk only if HBM is tight.
+        exact_argmax_grad: route gradients to torchvision's first-scan-hit
+            argmax via the int32-key path (bf16 feat, H*W <= 32768 only).
+            Default False: the autodiff table path splits tied maxima evenly
+            (subgradient-level difference) but is ~20x faster in backward on
+            TPU — XLA element scatters serialize, row scatters stream.
+        channels_last: return (P, PH, PW, C) and skip the NCHW transpose
+            (consumers flatten in (h, w, c) order; converted torch FC weights
+            need the matching input permutation, see engine/weights.py).
+    Returns:
+        (P, C, PH, PW) pooled features (d2 layout), or (P, PH, PW, C) when
+        ``channels_last``.
+    """
+    h, w, c = feat.shape
+    if exact_argmax_grad and feat.dtype == jnp.bfloat16 and h * w <= _POS_CAPACITY:
+        out = _roi_pool_argmax(feat, boxes, valid, spatial_scale, output_size)
+        if row_scale is not None:
+            out = out * row_scale[:, None, None, None].astype(out.dtype)
+        if channels_last:
+            out = jnp.transpose(out, (0, 2, 3, 1))
+        return out
+    ph_out, pw_out = output_size
+    lh = _num_levels(h // ph_out + 4)
+    lw = _num_levels(w // pw_out + 4)
+    t2 = build_max_table(feat, lh, lw)  # (lh, lw, H, W, C)
+    t2_flat = t2.reshape(lh * lw * h * w, c)
+
+    corners, empty = _bin_corner_indices(
+        boxes, valid, h, w, ph_out, pw_out, lw, spatial_scale)
 
     def pool_chunk(args):
-        idx0, idx1, idx2, idx3, empty_c, valid_c = args
-        out = jnp.take(t2_flat, idx0, axis=0)
-        for ix in (idx1, idx2, idx3):
-            out = jnp.maximum(out, jnp.take(t2_flat, ix, axis=0))
+        idx4, empty_c, valid_c, scale_c = args
+        # ONE gather for all 4 corners: backward then allocates a single
+        # table-sized cotangent buffer instead of four (row-granular scatter)
+        g = jnp.take(t2_flat, idx4, axis=0)          # (4, pc, PH, PW, C)
+        out = jnp.max(g, axis=0)
         mask = (~empty_c) & valid_c[:, None, None]
+        if scale_c is not None:
+            out = out * scale_c[:, None, None, None].astype(out.dtype)
         return jnp.where(mask[..., None], out, 0.0).astype(feat.dtype)
 
     p = boxes.shape[0]
-    if p > chunk and p % chunk == 0:
-        args = tuple(x.reshape((p // chunk, chunk) + x.shape[1:]) for x in corners) + (
-            empty.reshape(p // chunk, chunk, ph_out, pw_out),
-            valid.reshape(p // chunk, chunk),
+    idx4 = jnp.stack(corners, axis=0)                # (4, P, PH, PW)
+    if chunk and p > chunk and p % chunk == 0:
+        n = p // chunk
+        args = (
+            idx4.reshape(4, n, chunk, ph_out, pw_out).transpose(1, 0, 2, 3, 4),
+            empty.reshape(n, chunk, ph_out, pw_out),
+            valid.reshape(n, chunk),
+            None if row_scale is None else row_scale.reshape(n, chunk),
         )
-        out = jax.lax.map(pool_chunk, args)
+        if row_scale is None:
+            out = jax.lax.map(lambda a: pool_chunk(a + (None,)), args[:3])
+        else:
+            out = jax.lax.map(pool_chunk, args)
         out = out.reshape(p, ph_out, pw_out, c)
     else:
-        out = pool_chunk((corners[0], corners[1], corners[2], corners[3], empty, valid))
+        out = pool_chunk((idx4, empty, valid, row_scale))
+    if channels_last:
+        return out
     return jnp.transpose(out, (0, 3, 1, 2))  # (P, C, PH, PW)
+
+
+# --------------------------------------------------------------------------
+# argmax-key fast path (bf16): int32 key = sortable16(value) * 2^15 + rank,
+# rank = (H*W - 1 - flat_pos) so the table max is the max VALUE with the
+# SMALLEST position on ties — torchvision's first-scan-hit tie-break.
+_POS_CAPACITY = 1 << 15
+
+
+def _bf16_sortable16(feat16: jnp.ndarray) -> jnp.ndarray:
+    """bf16 -> int32 in [0, 65535], monotone in the float value."""
+    bits = jax.lax.bitcast_convert_type(feat16, jnp.uint16).astype(jnp.int32)
+    return jnp.where(bits < 0x8000, bits + 0x8000, 0xFFFF - bits)
+
+
+def _sortable16_bf16(key16: jnp.ndarray) -> jnp.ndarray:
+    bits = jnp.where(key16 >= 0x8000, key16 - 0x8000, 0xFFFF - key16)
+    return jax.lax.bitcast_convert_type(bits.astype(jnp.uint16), jnp.bfloat16)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _roi_pool_argmax(feat, boxes, valid, spatial_scale, output_size):
+    out, _ = _roi_pool_argmax_fwd_impl(feat, boxes, valid, spatial_scale,
+                                       output_size)
+    return out
+
+
+def _roi_pool_argmax_fwd_impl(feat, boxes, valid, spatial_scale, output_size):
+    h, w, c = feat.shape
+    ph_out, pw_out = output_size
+    lh = _num_levels(h // ph_out + 4)
+    lw = _num_levels(w // pw_out + 4)
+
+    rank = (h * w - 1) - (jnp.arange(h * w, dtype=jnp.int32)
+                          .reshape(h, w)[:, :, None])
+    keys = _bf16_sortable16(feat) * _POS_CAPACITY + rank       # (H, W, C)
+    # build the doubling table over integer keys (build_max_table's -inf
+    # sentinel maps below any key after int cast)
+    t2 = build_max_table(keys, lh, lw)
+    t2_flat = t2.reshape(lh * lw * h * w, c)
+
+    corners, empty = _bin_corner_indices(
+        boxes, valid, h, w, ph_out, pw_out, lw, spatial_scale)
+    best = jnp.take(t2_flat, corners[0], axis=0)
+    for ix in corners[1:]:
+        best = jnp.maximum(best, jnp.take(t2_flat, ix, axis=0))  # (P,PH,PW,C)
+
+    mask = (~empty) & valid[:, None, None]                       # (P, PH, PW)
+    vals = _sortable16_bf16(best // _POS_CAPACITY)
+    vals = jnp.where(mask[..., None], vals, jnp.bfloat16(0.0))
+    pos = (h * w - 1) - (best % _POS_CAPACITY)
+    pos = jnp.where(mask[..., None], pos, -1)                    # (P,PH,PW,C)
+    out = jnp.transpose(vals, (0, 3, 1, 2))                      # (P,C,PH,PW)
+    return out, pos
+
+
+def _roi_pool_argmax_fwd(feat, boxes, valid, spatial_scale, output_size):
+    out, pos = _roi_pool_argmax_fwd_impl(feat, boxes, valid, spatial_scale,
+                                         output_size)
+    return out, (pos, feat.shape)
+
+
+def _roi_pool_argmax_bwd(spatial_scale, output_size, res, g):
+    pos, (h, w, c) = res
+    gt = jnp.transpose(jnp.asarray(g, jnp.float32), (0, 2, 3, 1))  # (P,PH,PW,C)
+    ch = jnp.arange(c, dtype=jnp.int32)
+    flat = jnp.where(pos >= 0, pos * c + ch, h * w * c)            # trash row
+    grad = jnp.zeros(h * w * c + 1, jnp.float32).at[flat.reshape(-1)].add(
+        gt.reshape(-1))
+    grad_feat = grad[:-1].reshape(h, w, c).astype(jnp.bfloat16)
+    return grad_feat, None, None
+
+
+_roi_pool_argmax.defvjp(_roi_pool_argmax_fwd, _roi_pool_argmax_bwd)

@@ -210,3 +210,49 @@ def test_roi_align_parity(sampling_ratio, aligned):
     )
     exp = roi_align_np(feat.transpose(2, 0, 1), boxes, scale, 7, 7, sampling_ratio, aligned)
     np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-4)
+
+
+def test_roi_pool_bf16_argmax_path_parity():
+    """The bf16 argmax-key fast path must match the f32 table path (values
+    computed in bf16) and the numpy oracle."""
+    import jax
+
+    rng = np.random.RandomState(11)
+    h, w, c, p = 24, 32, 8, 16
+    feat = (rng.randn(h, w, c) * 2).astype(np.float32)
+    feat_bf = jnp.asarray(feat, jnp.bfloat16)
+    pts = rng.rand(p, 2) * np.array([200, 150])
+    wh = rng.rand(p, 2) * 100 + 8
+    boxes = jnp.asarray(np.concatenate([pts, pts + wh], 1), jnp.float32)
+    valid = jnp.asarray(np.arange(p) < p - 2)
+
+    got = roi_pool(feat_bf, boxes, valid, spatial_scale=0.125,
+                   output_size=(7, 7), exact_argmax_grad=True)
+    assert got.dtype == jnp.bfloat16
+    want = roi_pool(jnp.asarray(np.asarray(feat_bf, np.float32)), boxes,
+                    valid, spatial_scale=0.125, output_size=(7, 7))
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32), rtol=0, atol=0)
+
+
+def test_roi_pool_bf16_grad_routes_to_argmax():
+    """Gradient lands on exactly the max cell (first scan position on ties)."""
+    import jax
+
+    h, w, c = 8, 8, 2
+    feat = np.zeros((h, w, c), np.float32)
+    feat[2, 3, 0] = 5.0      # unique max for channel 0
+    feat[1, 1, 1] = 7.0
+    feat[4, 4, 1] = 7.0      # tie: first scan position is (1,1)
+    feat_bf = jnp.asarray(feat, jnp.bfloat16)
+    boxes = jnp.asarray([[0.0, 0.0, 56.0, 56.0]])  # whole map at scale 1/8
+    valid = jnp.asarray([True])
+
+    def f(x):
+        out = roi_pool(x, boxes, valid, spatial_scale=0.125,
+                       output_size=(1, 1), exact_argmax_grad=True)
+        return jnp.sum(jnp.asarray(out, jnp.float32))
+
+    g = np.asarray(jax.grad(f)(feat_bf), np.float32)
+    assert g[2, 3, 0] == 1.0 and g.sum() == 2.0
+    assert g[1, 1, 1] == 1.0 and g[4, 4, 1] == 0.0
