@@ -130,6 +130,11 @@ class OICRPlusHead(nn.Module):
     refine_mist: bool = True
     mist_p: float = 0.10
     mist_thre: float = 0.05
+    # OICRPLUS.BBOX_UPDATE (roi_heads_oicrplus.py:398-425): average the 4
+    # views' regression deltas flip-consistently (dx antisymmetric under
+    # hflip, dy/dw/dh symmetric) and feed the decoded class-specific boxes to
+    # the next branch's mining/labeling instead of the raw proposals.
+    bbox_update: bool = False
     mean_loss: bool = True
     smooth_l1_beta: float = 0.0
     bbox_reg_weights: Tuple[float, float, float, float] = (10.0, 10.0, 5.0, 5.0)
@@ -189,6 +194,7 @@ class OICRPlusHead(nn.Module):
         losses = {"loss_cls": mil}
 
         prev = jax.lax.stop_gradient(jnp.mean(scores_v, axis=0))  # (P, K)
+        prev_boxes_v = None  # (4, P, K, 4) once BBOX_UPDATE kicks in
         for k in range(self.refine_k):
             term_weight = 1.0
             if k == 0 and (not self.refine_mist) and (not self.refine_reg[0]):
@@ -197,9 +203,17 @@ class OICRPlusHead(nn.Module):
                 prev, boxes[0], prop_valid, gt_classes_oh,
                 mist_p=self.mist_p, mist_thre=self.mist_thre, seed_cap=self.seed_cap,
             )
+            if prev_boxes_v is not None:
+                # mining seeds carry the flip-averaged regressed box of their
+                # (proposal, class) instead of the raw proposal
+                import dataclasses
+
+                gt = dataclasses.replace(
+                    gt, boxes=prev_boxes_v[0][gt.index, gt.classes])
             cls, weights, index, _ = label_and_sample(
                 gt, boxes[0], prop_valid, self.matcher, self.num_classes
             )
+            safe_cls = jnp.clip(cls, 0, self.num_classes - 1)
 
             sc, dl = self.refine[k](feats.reshape(v * p, -1))
             sc = sc.reshape(v, p, -1)
@@ -213,7 +227,10 @@ class OICRPlusHead(nn.Module):
                 pv = pred_view[view]
                 ce_terms.append(weighted_ce_loss(sc[pv], cls, weights, prop_valid))
                 if self.refine_reg[k]:
-                    gt_boxes_view = boxes[view][index]
+                    if prev_boxes_v is not None:
+                        gt_boxes_view = prev_boxes_v[view][index, safe_cls]
+                    else:
+                        gt_boxes_view = boxes[view][index]
                     reg_terms.append(
                         box_reg_loss(
                             dl[pv], boxes[view], gt_boxes_view, cls, prop_valid,
@@ -227,6 +244,23 @@ class OICRPlusHead(nn.Module):
 
             probs = jax.nn.softmax(jnp.asarray(sc, jnp.float32), axis=-1)  # (4, P, K+1)
             prev = jax.lax.stop_gradient(jnp.mean(probs, axis=0))
+            if self.bbox_update and self.refine_reg[k]:
+                # flip-consistent average (roi_heads_oicrplus.py:398-425):
+                # views 1 and 3 are hflipped -> their dx enters negated
+                d = jax.lax.stop_gradient(
+                    jnp.asarray(dl, jnp.float32).reshape(v, p, self.num_classes, 4))
+                sign = jnp.asarray([1.0, -1.0, 1.0, -1.0])[:, None, None]
+                dx = jnp.mean(d[..., 0] * sign, axis=0)         # (P, K)
+                rest = jnp.mean(d[..., 1:], axis=0)             # (P, K, 3)
+                prev_boxes_v = jnp.stack([
+                    box_ops.apply_deltas(
+                        jnp.concatenate(
+                            [(dx * s)[..., None], rest], axis=-1
+                        ).reshape(p, self.num_classes * 4),
+                        boxes[view], self.bbox_reg_weights,
+                    ).reshape(p, self.num_classes, 4)
+                    for view, s in zip(range(v), (1.0, -1.0, 1.0, -1.0))
+                ])
         return losses
 
     def predict(

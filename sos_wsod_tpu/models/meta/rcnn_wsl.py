@@ -39,6 +39,7 @@ class MultiInputRCNN(nn.Module):
     refine_mist: bool = True
     mist_p: float = 0.10
     mist_thre: float = 0.05
+    bbox_update: bool = False
     mean_loss: bool = True
     seed_cap: int = 1024
     dan_dims: Sequence[int] = (4096, 4096)
@@ -61,6 +62,7 @@ class MultiInputRCNN(nn.Module):
             refine_mist=self.refine_mist,
             mist_p=self.mist_p,
             mist_thre=self.mist_thre,
+            bbox_update=self.bbox_update,
             mean_loss=self.mean_loss,
             seed_cap=self.seed_cap,
             dan_dims=tuple(self.dan_dims),
@@ -158,6 +160,7 @@ class MultiInputRCNN(nn.Module):
             refine_mist=cfg.WSL.REFINE_MIST,
             mist_p=cfg.WSL.MIST_P,
             mist_thre=cfg.WSL.MIST_THRE,
+            bbox_update=cfg.OICRPLUS.BBOX_UPDATE,
             mean_loss=cfg.WSL.MEAN_LOSS,
             seed_cap=cfg.TPU.PGT_SEED_CAPACITY,
             dan_dims=tuple(cfg.MODEL.ROI_BOX_HEAD.DAN_DIM),

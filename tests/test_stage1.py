@@ -192,3 +192,40 @@ def test_stage1_inference_shapes():
     s = np.asarray(all_scores)
     np.testing.assert_allclose(s.sum(axis=1), 1.0, atol=1e-4)  # mean of softmaxes
     assert np.asarray(det.valid).sum() > 0
+
+
+def test_oicrplus_bbox_update():
+    """OICRPLUS.BBOX_UPDATE: flip-consistent delta averaging feeds regressed
+    boxes to the next branch's mining; losses stay finite and grads flow."""
+    import jax
+    import jax.numpy as jnp
+    from sos_wsod_tpu.models.heads.oicr_plus import OICRPlusHead
+
+    rng = np.random.RandomState(0)
+    v, p, classes, ch = 4, 24, 4, 8
+    pooled = jnp.asarray(rng.rand(v, p, 7, 7, ch), jnp.float32)
+    pts = rng.rand(p, 2) * 60
+    wh = rng.rand(p, 2) * 20 + 4
+    b0 = np.concatenate([pts, pts + wh], 1).astype(np.float32)
+    boxes = jnp.asarray(np.stack([b0, b0 + 1, b0 * 0.8, b0 * 0.8 + 1]))
+    objectness = jnp.asarray(rng.rand(p), jnp.float32)
+    valid = jnp.asarray(np.arange(p) < p - 3)
+    gt_oh = jnp.zeros(classes).at[jnp.asarray([1, 3])].set(1.0)
+
+    head = OICRPlusHead(num_classes=classes, refine_k=2,
+                        refine_reg=(True, True), bbox_update=True,
+                        fused_pool=True, seed_cap=16, dan_dims=(32, 32))
+    params = head.init(jax.random.PRNGKey(0), pooled, boxes, objectness,
+                       valid, gt_oh, method=head.losses)
+
+    def loss_fn(prm):
+        losses = head.apply(prm, pooled, boxes, objectness, valid, gt_oh,
+                            method=head.losses,
+                            rngs={"dropout": jax.random.PRNGKey(1)})
+        return sum(losses.values()), losses
+
+    (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(total))
+    assert "loss_box_reg_r1" in losses
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(g)) for g in leaves)
