@@ -89,6 +89,92 @@ class WSBottleneckBlock(nn.Module):
         return out
 
 
+class DeformBottleneckBlock(nn.Module):
+    """Bottleneck whose 3x3 conv is a (modulated) deformable conv.
+
+    Parity target: DeformBottleneckBlock (resnet_ws.py:252-368 and stock d2
+    modeling/backbone/resnet.py): a conv2_offset 3x3 conv predicts 18 offset
+    channels (+9 modulation channels when ``deform_modulated``, passed
+    through sigmoid); conv2 becomes ops/deform_conv.deform_conv2d.
+    Offset conv is zero-initialised (the reference's nn.init.constant_(0))
+    so training starts as a plain bottleneck. Stride-free WS variant."""
+
+    in_channels: int
+    out_channels: int
+    bottleneck_channels: int
+    dilation: int = 1
+    deform_modulated: bool = False
+    has_pool: bool = False
+    pool_stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ...ops.deform_conv import deform_conv2d
+
+        out = nn.Conv(self.bottleneck_channels, (1, 1), use_bias=False,
+                      dtype=self.dtype, kernel_init=_conv_init,
+                      name="conv1")(x)
+        out = FrozenBN(self.bottleneck_channels, name="conv1_norm")(out)
+        out = nn.relu(out)
+
+        off_ch = 27 if self.deform_modulated else 18
+        off = nn.Conv(off_ch, (3, 3), padding=self.dilation,
+                      kernel_dilation=self.dilation, dtype=self.dtype,
+                      kernel_init=nn.initializers.zeros,
+                      bias_init=nn.initializers.zeros,
+                      name="conv2_offset")(out)
+        if self.deform_modulated:
+            o1, o2, m = jnp.split(off, [9, 18], axis=-1)
+            # our deform_conv2d takes (dy, dx) interleaved per tap; porting
+            # d2 deform weights would need a channel permutation here
+            offset = jnp.stack([o1, o2], axis=-1).reshape(off.shape[:-1] + (18,))
+            mask = jax.nn.sigmoid(m)
+        else:
+            offset = off.reshape(off.shape[:-1] + (18,))
+            mask = None
+        w2 = self.param("conv2_kernel", _conv_init,
+                        (3, 3, self.bottleneck_channels,
+                         self.bottleneck_channels), self.dtype)
+
+        def dc(feat_hwc, off_hwc, mask_hwc):
+            return deform_conv2d(feat_hwc, off_hwc, w2, mask_hwc,
+                                 stride=1, padding=self.dilation,
+                                 dilation=self.dilation)
+
+        if out.ndim == 4:
+            if mask is None:
+                out = jax.vmap(lambda f, o: dc(f, o, None))(out, offset)
+            else:
+                out = jax.vmap(dc)(out, offset, mask)
+        else:
+            out = dc(out, offset, mask)
+        out = FrozenBN(self.bottleneck_channels, name="conv2_norm")(out)
+        out = nn.relu(out)
+
+        out = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                      dtype=self.dtype, kernel_init=_conv_init,
+                      name="conv3")(out)
+        out = FrozenBN(self.out_channels, name="conv3_norm")(out)
+        if self.in_channels != self.out_channels:
+            sc = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                         dtype=self.dtype, kernel_init=_conv_init,
+                         name="shortcut")(x)
+            sc = FrozenBN(self.out_channels, name="shortcut_norm")(sc)
+        else:
+            sc = x
+        out = nn.relu(out + sc)
+        if self.has_pool:
+            if self.pool_stride == 1:
+                pad = [(0, 0)] * (out.ndim - 3) + [(0, 1), (0, 1), (0, 0)]
+                out = jnp.pad(out, pad, mode="edge")
+                out = nn.max_pool(out, (2, 2), strides=(1, 1))
+            else:
+                out = nn.max_pool(out, (2, 2),
+                                  strides=(self.pool_stride,) * 2)
+        return out
+
+
 class WSResNet(nn.Module):
     """Returns dict of requested stage outputs {'res2': ..., 'res5': ...}."""
 

@@ -80,3 +80,25 @@ def test_mrrp_vgg_shapes_and_sharing():
     p5 = params["params"]["plain5"]
     assert set(p5.keys()) == {"conv1", "conv2", "conv3"}
     assert p5["conv1"]["kernel"].shape == (3, 3, 512, 512)
+
+
+def test_deform_bottleneck_block():
+    from sos_wsod_tpu.models.backbones.resnet_ws import DeformBottleneckBlock
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 12, 12, 8), jnp.float32)
+    for modulated in (False, True):
+        blk = DeformBottleneckBlock(in_channels=8, out_channels=16,
+                                    bottleneck_channels=4,
+                                    deform_modulated=modulated)
+        params = blk.init(jax.random.PRNGKey(0), x)
+        out = blk.apply(params, x)
+        assert out.shape == (1, 12, 12, 16)
+        # offset conv zero-init: first forward == plain bottleneck behaviour
+        g = jax.grad(lambda p: jnp.sum(blk.apply(p, x) ** 2))(params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.all(np.isfinite(l)) for l in leaves)
+        flat = jax.tree_util.tree_flatten_with_path(g)[0]
+        off_grads = [np.abs(v).max() for path, v in flat
+                     if any("conv2_offset" in str(k) for k in path)]
+        assert len(off_grads) > 0 and max(off_grads) > 0
