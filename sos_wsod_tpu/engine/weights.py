@@ -181,3 +181,47 @@ def load_resnet_imagenet_weights(params: Dict[str, Any], path: str) -> Dict[str,
     bb["bottom_up"] = merge_pretrained(params["backbone"]["bottom_up"], tree)
     out["backbone"] = bb
     return out
+
+
+# torchvision vgg16 "features" conv indices per stage (the reference's
+# convert_vgg.py maps the same caffe/torch layer order)
+_TV_VGG16_LAYOUT = [
+    ("plain1", (0, 2)),
+    ("plain2", (5, 7)),
+    ("plain3", (10, 12, 14)),
+    ("plain4", (17, 19, 21)),
+    ("plain5", (24, 26, 28)),
+]
+
+
+def torchvision_vgg16_param_tree(state_dict: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Map a torchvision ``vgg16`` state_dict (``features.N.{weight,bias}``)
+    to our VGG16 backbone tree (parity role: uwsod/projects/WSL/tools/
+    convert_vgg.py). Classifier FCs map to the DAN (fc1/fc2) when present.
+
+    NOTE: torchvision VGG16 is trained on RGB/255-normalised inputs while the
+    reference caffe weights expect BGR mean-subtracted pixels — converting
+    weights does NOT convert the preprocessing convention; prefer the caffe
+    pkl for parity runs."""
+    out: Dict[str, Any] = {}
+    for stage, idxs in _TV_VGG16_LAYOUT:
+        for j, li in enumerate(idxs, start=1):
+            w = state_dict.get(f"features.{li}.weight")
+            b = state_dict.get(f"features.{li}.bias")
+            if w is None:
+                logger.info("missing torchvision key features.%d.weight", li)
+                continue
+            _set(out, ("backbone", stage, f"conv{j}", "kernel"),
+                 _conv_w(np.asarray(w)))
+            if b is not None:
+                _set(out, ("backbone", stage, f"conv{j}", "bias"),
+                     np.asarray(b))
+    for j, li in enumerate((0, 3), start=1):
+        w = state_dict.get(f"classifier.{li}.weight")
+        b = state_dict.get(f"classifier.{li}.bias")
+        if w is not None:
+            _set(out, ("roi_heads", "dan", f"fc{j}", "kernel"),
+                 _fc6_w(np.asarray(w)) if j == 1 else _fc_w(np.asarray(w)))
+        if b is not None:
+            _set(out, ("roi_heads", "dan", f"fc{j}", "bias"), np.asarray(b))
+    return out

@@ -130,3 +130,26 @@ def test_coco_eval_detection_result_dump(tmp_path):
     dumped = json.load(open(str(path).format("cocotest")))
     assert dumped[0]["category_id"] == 1  # 1-based
     assert dumped[0]["image_id"] == 1
+
+
+def test_torchvision_vgg16_mapping():
+    from sos_wsod_tpu.engine.weights import torchvision_vgg16_param_tree
+
+    rng = np.random.RandomState(0)
+    sd = {
+        "features.0.weight": rng.randn(64, 3, 3, 3).astype(np.float32),
+        "features.0.bias": rng.randn(64).astype(np.float32),
+        "features.28.weight": rng.randn(512, 512, 3, 3).astype(np.float32),
+        "features.28.bias": rng.randn(512).astype(np.float32),
+        "classifier.0.weight": rng.randn(8, 2 * 7 * 7).astype(np.float32),
+        "classifier.0.bias": rng.randn(8).astype(np.float32),
+    }
+    tree = torchvision_vgg16_param_tree(sd)
+    assert tree["backbone"]["plain1"]["conv1"]["kernel"].shape == (3, 3, 3, 64)
+    assert tree["backbone"]["plain5"]["conv3"]["kernel"].shape == (3, 3, 512, 512)
+    # fc1 gets the channels-last input permutation: torch index c*49+p maps
+    # to row p*C+c
+    fc1 = tree["roi_heads"]["dan"]["fc1"]["kernel"]
+    assert fc1.shape == (98, 8)
+    w = sd["classifier.0.weight"]
+    np.testing.assert_allclose(fc1[3 * 2 + 1], w[:, 1 * 49 + 3])
