@@ -82,3 +82,15 @@ def test_draw_detections_smoke():
     img = draw_detections(Image.new("RGB", (40, 40)), [[5, 5, 20, 20]],
                           ["cat"], [0.8])
     assert np.asarray(img).sum() > 0
+
+
+def test_imagenet_trainer_smoke():
+    import sys
+    sys.path.insert(0, "tools")
+    from train_imagenet import main
+
+    state = main(["--arch", "vgg16", "--num-classes", "4",
+                  "--batch-size", "2", "--image-size", "64",
+                  "--max-iter", "2", "--log-period", "1",
+                  "--synthetic", "--dtype", "float32"])
+    assert "params" in state
