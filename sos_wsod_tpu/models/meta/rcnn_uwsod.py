@@ -126,3 +126,116 @@ class UWSODRCNN(nn.Module):
         if train:
             return self.loss(batch, rng)
         return self.predict(batch)
+
+
+class MRRPUWSODRCNN(nn.Module):
+    """UWSOD over the MRRP multi-dilation backbone.
+
+    Parity target: MODEL.MRRP.MRRP_ON configurations (reference: RPNWSL
+    rpn.py:432-439 chunks the concatenated branch features and generates
+    anchors per branch; roi_heads_uwsod.py:429-439 pools each proposal from
+    its source branch via level_ids). Here the B branches enter the RPN as B
+    same-stride "levels" (which reproduces the per-branch anchors + joint
+    NMS) and ROI pooling is per-branch with masked recombination."""
+
+    num_classes: int = 20
+    pixel_mean: Sequence[float] = (103.939, 116.779, 123.68)
+    pixel_std: Sequence[float] = (1.0, 1.0, 1.0)
+    freeze_at: int = 2
+    num_branch: int = 3
+    branch_dilations: Sequence[int] = (1, 2, 3)
+    pooler_resolution: int = 7
+    refine_k: int = 4
+    refine_reg: Sequence[bool] = (True, True, True, True)
+    mean_loss: bool = True
+    dan_dims: Sequence[int] = (4096, 4096)
+    anchor_sizes: Sequence[float] = (32, 64, 128, 256, 512)
+    aspect_ratios: Sequence[float] = (0.5, 1.0, 2.0)
+    pre_nms_topk: int = 2000
+    post_nms_topk: int = 1000
+    score_thresh: float = 1e-6
+    nms_thresh: float = 0.3
+    detections_per_image: int = 100
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        from ..backbones.mrrp import MRRPVGG16
+
+        self.backbone = MRRPVGG16(
+            freeze_at=self.freeze_at, num_branch=self.num_branch,
+            branch_dilations=tuple(self.branch_dilations), dtype=self.dtype)
+        self.stride = 8
+        names = tuple(f"b{i}" for i in range(self.num_branch))
+        self.branch_names = names
+        self.proposal_generator = RPN(
+            in_features=names,
+            strides=(self.stride,) * self.num_branch,
+            anchor_sizes=(tuple(self.anchor_sizes),) * self.num_branch,
+            aspect_ratios=(tuple(self.aspect_ratios),) * self.num_branch,
+            in_channels=512,
+            pre_nms_topk_train=self.pre_nms_topk,
+            post_nms_topk_train=self.post_nms_topk,
+            pre_nms_topk_test=self.pre_nms_topk,
+            post_nms_topk_test=self.post_nms_topk,
+            dtype=self.dtype)
+        self.roi_heads = UWSODROIHead(
+            num_classes=self.num_classes, refine_k=self.refine_k,
+            refine_reg=tuple(self.refine_reg), rpn_on=True,
+            mean_loss=self.mean_loss, dan_dims=tuple(self.dan_dims),
+            dtype=self.dtype)
+
+    def _normalize(self, images):
+        mean = jnp.asarray(self.pixel_mean, self.dtype)
+        std = jnp.asarray(self.pixel_std, self.dtype)
+        return (images.astype(self.dtype) - mean) / std
+
+    def _features(self, batch):
+        out = self.backbone(self._normalize(batch["image"][None]))["plain5"]
+        branches = out[0]                       # (B, H', W', 512)
+        return {f"b{i}": branches[i] for i in range(self.num_branch)}
+
+    def _pool_by_branch(self, fdict, boxes, valid, levels):
+        """Each proposal pools from its source branch (masked recombine)."""
+        pooled = None
+        for i in range(self.num_branch):
+            sel = valid & (levels == i)
+            p = roi_pool(fdict[f"b{i}"], boxes, sel,
+                         spatial_scale=1.0 / self.stride,
+                         output_size=(self.pooler_resolution,) * 2,
+                         channels_last=True)
+            pooled = p if pooled is None else pooled + p
+        return pooled
+
+    def loss(self, batch: Dict[str, jnp.ndarray], rng: jax.Array
+             ) -> Dict[str, jnp.ndarray]:
+        fdict = self._features(batch)
+        (pboxes, plogits, pvalid, plvl), _ = self.proposal_generator(
+            fdict, batch["image_hw"], train=True, compute_loss=False,
+            return_levels=True)
+        pooled = self._pool_by_branch(fdict, pboxes, pvalid, plvl)
+        rng, head_rng, rpn_rng = jax.random.split(rng, 3)
+        losses, rpn_gt = self.roi_heads.losses(
+            pooled, pboxes, plogits, pvalid, batch["gt_classes_oh"], head_rng)
+        _, rpn_losses = self.proposal_generator(
+            fdict, batch["image_hw"], gt_boxes=rpn_gt.boxes,
+            gt_valid=rpn_gt.valid, rng=rpn_rng, train=True, compute_loss=True)
+        losses.update(rpn_losses)
+        return losses
+
+    def predict(self, batch: Dict[str, jnp.ndarray]):
+        fdict = self._features(batch)
+        (pboxes, plogits, pvalid, plvl), _ = self.proposal_generator(
+            fdict, batch["image_hw"], train=False, return_levels=True)
+        pooled = self._pool_by_branch(fdict, pboxes, pvalid, plvl)
+        scores, pred_boxes = self.roi_heads.predict(pooled, pboxes, plogits,
+                                                    pvalid)
+        det = fast_rcnn_inference_single(
+            pred_boxes, scores, pvalid, batch["image_hw"],
+            score_thresh=self.score_thresh, nms_thresh=self.nms_thresh,
+            topk=self.detections_per_image)
+        return det, scores, pred_boxes
+
+    def __call__(self, batch, rng=None, train: bool = False):
+        if train:
+            return self.loss(batch, rng)
+        return self.predict(batch)

@@ -124,9 +124,13 @@ def find_top_rpn_proposals(
     post_nms_topk: int,
     nms_thresh: float = 0.7,
     min_size: float = 0.0,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    return_levels: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """d2 find_top_rpn_proposals as fixed-shape ops. Returns
-    (boxes (post_nms_topk, 4), logits (post_nms_topk,), valid (post_nms_topk,))."""
+    (boxes (post_nms_topk, 4), logits (post_nms_topk,), valid (post_nms_topk,))
+    plus the source level/branch id per proposal when ``return_levels``
+    (consumed by the MRRP meta-arch to pool each proposal from its own
+    branch, reference rpn.py level_ids / roi_heads_uwsod.py:436-439)."""
     cand_scores, cand_boxes, cand_lvl = [], [], []
     h = image_hw[0].astype(jnp.float32)
     w = image_hw[1].astype(jnp.float32)
@@ -154,6 +158,8 @@ def find_top_rpn_proposals(
     out_valid = jnp.isfinite(top_scores)
     out_boxes = jnp.where(out_valid[:, None], boxes[top_idx], 0.0)
     out_scores = jnp.where(out_valid, top_scores, 0.0)
+    if return_levels:
+        return out_boxes, out_scores, out_valid, lvls[top_idx]
     return out_boxes, out_scores, out_valid
 
 
@@ -213,6 +219,7 @@ class RPN(nn.Module):
         *,
         train: bool = False,
         compute_loss: bool = True,
+        return_levels: bool = False,
     ):
         feats = [features[f] for f in self.in_features]
         logits_l, deltas_l = self.head(feats)
@@ -226,13 +233,15 @@ class RPN(nn.Module):
         ]
         pre = self.pre_nms_topk_train if train else self.pre_nms_topk_test
         post = self.post_nms_topk_train if train else self.post_nms_topk_test
-        prop_boxes, prop_logits, prop_valid = find_top_rpn_proposals(
+        props = find_top_rpn_proposals(
             [jax.lax.stop_gradient(l) for l, _ in flat],
             [jax.lax.stop_gradient(b) for b in boxes_l],
             image_hw,
             pre_nms_topk=pre, post_nms_topk=post,
             nms_thresh=self.nms_thresh, min_size=self.min_size,
+            return_levels=return_levels,
         )
+        prop_boxes, prop_logits, prop_valid = props[:3]
         losses = {}
         if train and compute_loss:
             all_logits = jnp.concatenate([l for l, _ in flat])
@@ -246,7 +255,7 @@ class RPN(nn.Module):
                 smooth_l1_beta=self.smooth_l1_beta,
             )
             losses = {k: v * self.loss_weight for k, v in losses.items()}
-        return (prop_boxes, prop_logits, prop_valid), losses
+        return props, losses
 
     @classmethod
     def from_cfg(cls, cfg, strides=None, dtype=jnp.float32):

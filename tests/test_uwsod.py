@@ -121,3 +121,29 @@ def test_uwsod_rcnn_e2e():
 
     det, scores, pred_boxes = model.apply(params, batch, None, False)
     assert np.all(np.isfinite(np.asarray(scores)))
+
+
+def test_mrrp_uwsod_rcnn_e2e():
+    from sos_wsod_tpu.models.meta.rcnn_uwsod import MRRPUWSODRCNN
+
+    rng = np.random.RandomState(2)
+    hw = 64
+    batch = {
+        "image": jnp.asarray(rng.rand(hw, hw, 3) * 255, jnp.float32),
+        "image_hw": jnp.asarray([hw, hw], jnp.int32),
+        "gt_classes_oh": jnp.asarray([1.0, 1.0, 0.0]),
+    }
+    model = MRRPUWSODRCNN(num_classes=3, refine_k=2, refine_reg=(True, True),
+                          dan_dims=(16, 16), pre_nms_topk=32,
+                          post_nms_topk=16, detections_per_image=8)
+    key = jax.random.PRNGKey(0)
+    params = model.init(jax.random.PRNGKey(1), batch, key, True)
+    losses = model.apply(params, batch, key, True,
+                         rngs={"dropout": jax.random.PRNGKey(2)})
+    assert {"loss_cls", "loss_rpn_cls", "loss_rpn_loc"} <= set(losses)
+    assert all(np.isfinite(float(v)) for v in losses.values())
+    det, scores, pred_boxes = model.apply(params, batch, None, False)
+    assert np.all(np.isfinite(np.asarray(scores)))
+    # the MRRP plain5 convs are shared across branches: one kernel each
+    p5 = params["params"]["backbone"]["plain5"]
+    assert p5["conv1"]["kernel"].shape == (3, 3, 512, 512)
