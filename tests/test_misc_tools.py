@@ -94,3 +94,21 @@ def test_imagenet_trainer_smoke():
                   "--max-iter", "2", "--log-period", "1",
                   "--synthetic", "--dtype", "float32"])
     assert "params" in state
+
+
+def test_verify_results():
+    import pytest as _pt
+    from sos_wsod_tpu.config import get_cfg
+    from sos_wsod_tpu.evaluation.testing import (flatten_results_dict,
+                                                 verify_results)
+
+    cfg = get_cfg()
+    results = {"bbox": {"AP50": 54.1, "AP": 26.2}}
+    assert flatten_results_dict(results) == {"bbox/AP50": 54.1, "bbox/AP": 26.2}
+    cfg.TEST.EXPECTED_RESULTS = [["bbox", "AP50", 54.0, 0.5]]
+    assert verify_results(cfg, results)
+    cfg.TEST.EXPECTED_RESULTS = [["bbox", "AP50", 60.0, 0.5]]
+    with _pt.raises(AssertionError):
+        verify_results(cfg, results)
+    cfg.TEST.EXPECTED_RESULTS = []
+    assert verify_results(cfg, results)

@@ -50,6 +50,10 @@ def do_test(cfg, model, params):
             ),
         )
         results[name] = run_stage1_inference(model, params, loader, evaluator)
+    if cfg.TEST.EXPECTED_RESULTS:
+        from sos_wsod_tpu.evaluation.testing import verify_results
+
+        verify_results(cfg, results)
     return results
 
 

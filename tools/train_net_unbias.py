@@ -62,6 +62,10 @@ def do_test(cfg, model, params):
             det = jax.device_get(infer(params, batch))
             evaluator.process_single(image_id, det.boxes, det.scores, det.classes, det.valid)
         results[name] = evaluator.evaluate()
+    if cfg.TEST.EXPECTED_RESULTS:
+        from sos_wsod_tpu.evaluation.testing import verify_results
+
+        verify_results(cfg, results)
     return results
 
 
