@@ -43,6 +43,10 @@ HEAD_NAME_MAP = {
 class GeneralizedRCNNWSL(nn.Module):
     num_classes: int = 20
     head: str = "WSDDN"  # WSDDN|OICR|PCL|CMIL|ContextLocNet|CSC|WSJDS
+    # backbone: "vgg16" (build_vgg_backbone) or "ws_resnet" (WSL
+    # build_ws_resnet_backbone, resnet_ws.py:635 — stride-8 dilated R-50/101)
+    backbone_name: str = "vgg16"
+    resnet_depth: int = 50
     pixel_mean: Sequence[float] = (103.939, 116.779, 123.68)
     pixel_std: Sequence[float] = (1.0, 1.0, 1.0)
     conv5_dilation: int = 2
@@ -66,10 +70,23 @@ class GeneralizedRCNNWSL(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.backbone = VGG16(
-            conv5_dilation=self.conv5_dilation, freeze_at=self.freeze_at,
-            out_features=("plain5",), dtype=self.dtype,
-        )
+        if self.backbone_name == "vgg16":
+            self.backbone = VGG16(
+                conv5_dilation=self.conv5_dilation, freeze_at=self.freeze_at,
+                out_features=("plain5",), dtype=self.dtype,
+            )
+            self.feature_key = "plain5"
+        elif self.backbone_name == "ws_resnet":
+            from ..backbones.resnet_ws import WSResNet
+
+            self.backbone = WSResNet(
+                depth=self.resnet_depth, freeze_at=self.freeze_at,
+                res5_dilation=self.conv5_dilation,
+                out_features=("res5",), dtype=self.dtype,
+            )
+            self.feature_key = "res5"
+        else:
+            raise ValueError(f"Unknown WSL backbone {self.backbone_name}")
         common = dict(num_classes=self.num_classes, mean_loss=self.mean_loss,
                       dan_dims=tuple(self.dan_dims), dtype=self.dtype)
         if self.head == "WSDDN":
@@ -116,8 +133,12 @@ class GeneralizedRCNNWSL(nn.Module):
         raise ValueError(f"Unsupported pooler {self.pooler_type}")
 
     def _features(self, batch):
-        return self.backbone(self._normalize(batch["image"][None]),
-                             batch["valid_hw"][None])["plain5"][0]
+        if self.backbone_name == "vgg16":
+            out = self.backbone(self._normalize(batch["image"][None]),
+                                batch["valid_hw"][None])
+        else:
+            out = self.backbone(self._normalize(batch["image"][None]))
+        return out[self.feature_key][0]
 
     def forward_scores(self, batch: Dict[str, jnp.ndarray],
                        train: bool = True) -> jnp.ndarray:
@@ -203,9 +224,13 @@ class GeneralizedRCNNWSL(nn.Module):
     def from_cfg(cls, cfg, **overrides):
         head = HEAD_NAME_MAP.get(cfg.MODEL.ROI_HEADS.NAME,
                                  cfg.MODEL.ROI_HEADS.NAME)
+        backbone = ("ws_resnet" if "resnet" in cfg.MODEL.BACKBONE.NAME.lower()
+                    else "vgg16")
         kw = dict(
             num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
             head=head,
+            backbone_name=backbone,
+            resnet_depth=cfg.MODEL.RESNETS.DEPTH,
             pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
             pixel_std=tuple(cfg.MODEL.PIXEL_STD),
             conv5_dilation=cfg.MODEL.VGG.CONV5_DILATION,

@@ -105,3 +105,29 @@ def test_from_cfg_head_mapping():
     assert model.head == "PCL"
     cfg.MODEL.ROI_HEADS.NAME = "WSJDSROIHeads"
     assert GeneralizedRCNNWSL.from_cfg(cfg).head == "WSJDS"
+
+
+def test_ws_resnet_backbone_e2e():
+    """GeneralizedRCNNWSL with the WS-ResNet trunk (stride-8 dilated)."""
+    rng = np.random.RandomState(5)
+    batch = _batch(rng, hw=64)
+    model = GeneralizedRCNNWSL(
+        num_classes=3, head="OICR", backbone_name="ws_resnet",
+        resnet_depth=14, dan_dims=(16, 16), refine_k=2,
+        refine_reg=(False, False), detections_per_image=8)
+    params = model.init(jax.random.PRNGKey(0), batch, True)
+    losses = model.apply(params, batch, True,
+                         rngs={"dropout": jax.random.PRNGKey(1)})
+    assert np.isfinite(float(sum(losses.values())))
+    det, scores, pred_boxes = model.apply(params, batch, False)
+    assert np.all(np.isfinite(np.asarray(scores)))
+
+
+def test_from_cfg_ws_resnet_backbone():
+    from sos_wsod_tpu.config import get_cfg
+
+    cfg = get_cfg()
+    cfg.MODEL.BACKBONE.NAME = "build_ws_resnet_backbone"
+    cfg.MODEL.ROI_HEADS.NAME = "OICRROIHeads"
+    model = GeneralizedRCNNWSL.from_cfg(cfg)
+    assert model.backbone_name == "ws_resnet"
