@@ -77,6 +77,35 @@ def visualize_json_results(result_json: str, image_dir: str, out_dir: str,
     return n
 
 
+def visualize_dataset(dataset_dicts, out_dir: str,
+                      class_names, limit: int = 50,
+                      draw_proposals: int = 0) -> int:
+    """Render dataset-dict ground truth (and optionally the first N
+    precomputed proposals) — reference tools/visualize_data.py."""
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    n = 0
+    for record in dataset_dicts:
+        if n >= limit:
+            break
+        if not os.path.exists(record.get("file_name", "")):
+            continue
+        img = Image.open(record["file_name"])
+        boxes, labels = [], []
+        for ann in record.get("annotations", []):
+            boxes.append(ann["bbox"])
+            labels.append(class_names[ann["category_id"]])
+        if draw_proposals and "proposal_boxes" in record:
+            for b in record["proposal_boxes"][:draw_proposals]:
+                boxes.append(b)
+                labels.append("proposal")
+        out = draw_detections(img, boxes, labels)
+        out.save(os.path.join(out_dir, os.path.basename(record["file_name"])))
+        n += 1
+    return n
+
+
 def main(argv=None):
     from .pgt_to_json import VOC_CLASSES
 

@@ -112,3 +112,23 @@ def test_verify_results():
         verify_results(cfg, results)
     cfg.TEST.EXPECTED_RESULTS = []
     assert verify_results(cfg, results)
+
+
+def test_visualize_dataset(tmp_path):
+    import os as _os
+
+    from PIL import Image
+    from sos_wsod_tpu.tools.visualize import visualize_dataset
+
+    imgdir = tmp_path / "im"
+    _os.makedirs(imgdir)
+    fp = str(imgdir / "a.jpg")
+    Image.new("RGB", (60, 40)).save(fp)
+    dicts = [{
+        "file_name": fp,
+        "annotations": [{"bbox": [5, 5, 30, 30], "category_id": 0}],
+        "proposal_boxes": np.array([[1, 1, 10, 10], [2, 2, 12, 12]]),
+    }]
+    n = visualize_dataset(dicts, str(tmp_path / "out"), ["cat"],
+                          draw_proposals=1)
+    assert n == 1 and _os.path.exists(tmp_path / "out" / "a.jpg")
