@@ -132,3 +132,16 @@ def test_visualize_dataset(tmp_path):
     n = visualize_dataset(dicts, str(tmp_path / "out"), ["cat"],
                           draw_proposals=1)
     assert n == 1 and _os.path.exists(tmp_path / "out" / "a.jpg")
+
+
+def test_filter_metrics():
+    import json
+
+    from sos_wsod_tpu.tools.filter_metrics import filter_metrics
+
+    lines = [json.dumps({"iteration": i, "total_loss": i * 0.1,
+                         "lr": 0.01, "data_time": 0.2}) for i in range(10)]
+    out = filter_metrics(lines, keys=["total_loss"], every=2)
+    assert [r["iteration"] for r in out] == [0, 2, 4, 6, 8]
+    assert set(out[0]) == {"iteration", "total_loss"}
+    assert len(filter_metrics(lines)) == 10
