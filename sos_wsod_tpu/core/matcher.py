@@ -54,10 +54,11 @@ class Matcher:
 
         if self.allow_low_quality_matches:
             # For each valid gt, predictions tying its best quality become label 1
-            # (matcher.py:115-140). Quality must be > 0 to count (torch nonzero).
+            # (matcher.py:115-140). Note d2's set_low_quality_matches_ has NO
+            # quality>0 guard: a gt whose best IoU is 0 marks every zero-IoU
+            # prediction as label 1 (known d2 quirk) — reproduced here.
             highest_per_gt = jnp.where(gt_valid, match_quality_matrix.max(axis=1), -1.0)
             is_best = (match_quality_matrix == highest_per_gt[:, None]) & gt_valid[:, None]
-            is_best = is_best & (match_quality_matrix > 0)
             pred_is_best = is_best.any(axis=0)
             match_labels = jnp.where(pred_is_best, jnp.int8(1), match_labels)
         return matches, match_labels

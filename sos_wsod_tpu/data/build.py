@@ -194,10 +194,20 @@ class DatasetMapperTest:
         objectness = np.zeros((cap,), np.float32)
         valid = np.zeros((cap,), bool)
         if "proposal_boxes" in d:
-            raw = np.asarray(d["proposal_boxes"], np.float32)[: self.proposal_topk]
+            # Mirror detection_utils.transform_proposals: transform ALL
+            # proposals, clip, filter nonempty (and dedup like the train
+            # mapper), THEN take topk — truncating first would let
+            # degenerate/duplicate boxes crowd out valid ones.
+            from ..core.boxes import unique_boxes_keep_mask
+            from .mapper_multi import _nonempty_np
+
+            raw = np.asarray(d["proposal_boxes"], np.float32)
             logits = np.asarray(d["proposal_objectness_logits"], np.float32)[: raw.shape[0]]
             b = t.apply_box(raw)
             b = T.clip_boxes_np(b, (ih, iw))
+            keep = unique_boxes_keep_mask(b) & _nonempty_np(b)
+            b = b[keep][: self.proposal_topk]
+            logits = logits[keep][: self.proposal_topk]
             n = min(b.shape[0], cap)
             out_boxes[:n] = b[:n]
             objectness[:n] = logits[:n]

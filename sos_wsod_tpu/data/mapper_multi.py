@@ -82,11 +82,16 @@ class DatasetMapperMultiInput:
         return T.resize_shortest_edge(h, w, self.min_size_train, self.max_size_train, self.rng)
 
     def _scale2(self, h, w, shape1):
+        # The reference's scale-2 ResizeShortestEdge(size_list_) uses the
+        # default (unbounded) max_size (uwsod/detectron2/data/dataset_mapper.py:
+        # 310-317) — clamping here could map every candidate size onto shape1
+        # and spin forever on high-aspect-ratio images.
         sizes = [s for s in self.min_size_train if s != min(shape1)]
-        while True:
-            t = T.resize_shortest_edge(h, w, sizes, self.max_size_train, self.rng)
+        for _ in range(100):
+            t = T.resize_shortest_edge(h, w, sizes, 2 ** 31, self.rng)
             if t.output_size != tuple(shape1):
                 return t
+        return t  # bounded fallback: accept the last sample
 
     def __call__(self, dataset_dict: Dict) -> Optional[Dict]:
         d = dict(dataset_dict)

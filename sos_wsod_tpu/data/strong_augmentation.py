@@ -91,7 +91,9 @@ def random_erasing(
             x = rng.randint(0, w - ew + 1)
             noise = rng.normal(size=(eh, ew, arr.shape[2])).astype(np.float32)
             arr = arr.copy()
-            arr[y : y + eh, x : x + ew] = np.clip(noise * 255.0, 0, 255)
+            # torchvision RandomErasing(value='random') fills UNclipped N(0,1)
+            # noise in the normalized domain; keep the float range here too.
+            arr[y : y + eh, x : x + ew] = noise * 255.0
             return arr
     return arr
 

@@ -183,6 +183,141 @@ def load_resnet_imagenet_weights(params: Dict[str, Any], path: str) -> Dict[str,
     return out
 
 
+def _deconv_w(w: np.ndarray) -> np.ndarray:
+    # torch ConvTranspose2d (in, out, kh, kw) -> flax ConvTranspose (kh, kw, in, out)
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1)))
+
+
+def frcnn_param_tree(sd: Dict[str, np.ndarray],
+                     box_head_channels_last: bool = True) -> Dict[str, Any]:
+    """Map a detectron2 R50-FPN GeneralizedRCNN ``state_dict`` (torch names,
+    as produced by the reference's stage-2/3 checkpoints — unbias/ubteacher/
+    checkpoint/detection_checkpoint.py:10-113) onto our GeneralizedRCNN tree.
+
+    Handles: ResNet bottom_up (stem/res{s}.{b} -> res{s}_block{b}), FPN
+    lateral/output convs, RPN head, box_head fc1/fc2 (fc1 rows permuted for
+    the channels-last pooled layout when ``box_head_channels_last``),
+    box_predictor, cascade per-stage heads (box_head.{k} -> box_head_{k}) and
+    the mask head (mask_fcn{i}/deconv/predictor). pixel_mean/std and anchor
+    buffers are skipped (ours are config constants)."""
+    out: Dict[str, Any] = {}
+    for key, v in sd.items():
+        v = np.asarray(v)
+        parts = key.split(".")
+        if key.startswith(("pixel_mean", "pixel_std")) or "anchor_generator" in key:
+            continue
+        if key.startswith("backbone.bottom_up."):
+            rest = parts[2:]
+            if rest[0] == "stem":
+                # stem.conv1.weight | stem.conv1.norm.X
+                if rest[2] == "weight" and len(rest) == 3:
+                    _set(out, ("backbone", "bottom_up", "stem", "conv1", "kernel"), _conv_w(v))
+                elif rest[2] == "norm":
+                    _set(out, ("backbone", "bottom_up", "stem", "conv1_norm", rest[3]), v)
+                continue
+            if rest[0].startswith("res"):
+                # res2.0.conv1.weight | res2.0.conv1.norm.X | res2.0.shortcut[.norm].X
+                stage, block, conv = rest[0], rest[1], rest[2]
+                mod = f"{stage}_block{block}"
+                if rest[-1] == "weight" and rest[-2] == conv:
+                    _set(out, ("backbone", "bottom_up", mod, conv, "kernel"), _conv_w(v))
+                elif "norm" in rest:
+                    _set(out, ("backbone", "bottom_up", mod, f"{conv}_norm", rest[-1]), v)
+                continue
+            logger.info("unmatched checkpoint key: %s", key)
+        elif parts[0] == "backbone" and parts[1].startswith(("fpn_lateral", "fpn_output")):
+            leaf = "kernel" if parts[2] == "weight" else "bias"
+            val = _conv_w(v) if parts[2] == "weight" else v
+            _set(out, ("backbone", "fpn", parts[1], leaf), val)
+        elif key.startswith("proposal_generator.rpn_head."):
+            name, kind = parts[2], parts[3]
+            leaf = "kernel" if kind == "weight" else "bias"
+            val = _conv_w(v) if kind == "weight" else v
+            _set(out, ("proposal_generator", "head", name, leaf), val)
+        elif key.startswith("roi_heads.box_head"):
+            # box_head.fc1.weight | cascade: box_head.0.fc1.weight
+            rest = parts[2:]
+            head = "box_head"
+            if rest[0].isdigit():
+                head = f"box_head_{rest[0]}"
+                rest = rest[1:]
+            name, kind = rest[0], rest[1]
+            leaf = "kernel" if kind == "weight" else "bias"
+            if kind == "weight" and name.startswith("fc"):
+                first_fc = name == "fc1"
+                val = _fc6_w(v) if (first_fc and box_head_channels_last) else _fc_w(v)
+            elif kind == "weight" and name.startswith("conv"):
+                val = _conv_w(v)
+            elif kind == "weight":
+                val = _fc_w(v)
+            else:
+                val = v
+            _set(out, ("roi_heads", head, name, leaf), val)
+        elif key.startswith("roi_heads.box_predictor"):
+            rest = parts[2:]
+            pred = "box_predictor"
+            if rest[0].isdigit():
+                pred = f"box_predictor_{rest[0]}"
+                rest = rest[1:]
+            name, kind = rest[0], rest[1]
+            leaf = "kernel" if kind == "weight" else "bias"
+            val = _fc_w(v) if kind == "weight" else v
+            _set(out, ("roi_heads", pred, name, leaf), val)
+        elif key.startswith("roi_heads.mask_head."):
+            name, kind = parts[2], parts[3]
+            leaf = "kernel" if kind == "weight" else "bias"
+            if kind == "weight" and name == "deconv":
+                val = _deconv_w(v)
+            elif kind == "weight":
+                val = _conv_w(v)
+            else:
+                val = v
+            _set(out, ("roi_heads", "mask_head", name, leaf), val)
+        else:
+            logger.info("unmatched checkpoint key: %s", key)
+    return out
+
+
+def ubteacher_state_dicts(ckpt: Any):
+    """Split an ubteacher ``EnsembleTSModel`` checkpoint (or its ``model``
+    state_dict) into (student_sd, teacher_sd) torch-name state_dicts —
+    parity role: tools/convert2detectron2.py:14-24 key-prefix extraction."""
+    from .torch_pickle import state_dict_to_numpy
+
+    flat = state_dict_to_numpy(ckpt)
+    student = {k[len("modelStudent."):]: v for k, v in flat.items()
+               if k.startswith("modelStudent.")}
+    teacher = {k[len("modelTeacher."):]: v for k, v in flat.items()
+               if k.startswith("modelTeacher.")}
+    if not student and not teacher:  # plain (non-ensemble) checkpoint
+        student = flat
+    return student, teacher
+
+
+def load_frcnn_torch_weights(params: Dict[str, Any], path: str,
+                             role: str = "student") -> Dict[str, Any]:
+    """Load a reference stage-2/3 ``.pth`` (plain d2 or ubteacher ensemble)
+    into our GeneralizedRCNN param tree, torch-free."""
+    from .torch_pickle import torch_load
+
+    student, teacher = ubteacher_state_dicts(torch_load(path))
+    sd = teacher if role == "teacher" else student
+    if not sd:
+        raise ValueError(f"checkpoint {path} has no '{role}' weights")
+    return merge_pretrained(params, frcnn_param_tree(sd))
+
+
+def load_vgg_wsl_torch_checkpoint(params: Dict[str, Any], path: str) -> Dict[str, Any]:
+    """Load a released stage-1 OICR+ model checkpoint (torch .pth with d2-WSL
+    names: backbone.plainX, roi_heads.box_head.fcY, roi_heads.box_predictor.
+    {cls,det}, roi_heads.box_refinery_K) into MultiInputRCNN params,
+    torch-free. Covers SURVEY §7 Milestone A released-checkpoint inference."""
+    from .torch_pickle import state_dict_to_numpy, torch_load
+
+    sd = state_dict_to_numpy(torch_load(path))
+    return merge_pretrained(params, vgg_wsl_param_tree(sd))
+
+
 # torchvision vgg16 "features" conv indices per stage (the reference's
 # convert_vgg.py maps the same caffe/torch layer order)
 _TV_VGG16_LAYOUT = [

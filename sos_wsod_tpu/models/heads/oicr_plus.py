@@ -227,8 +227,13 @@ class OICRPlusHead(nn.Module):
                 pv = pred_view[view]
                 ce_terms.append(weighted_ce_loss(sc[pv], cls, weights, prop_valid))
                 if self.refine_reg[k]:
-                    if prev_boxes_v is not None:
-                        gt_boxes_view = prev_boxes_v[view][index, safe_cls]
+                    # Under BBOX_UPDATE only view 0 regresses toward the
+                    # flip-averaged regressed pgt box; views 1-3 use their RAW
+                    # proposal boxes at gt_index (roi_heads_oicrplus.py
+                    # proposals_k1_flip/k2/k2_flip build from `boxes`, not the
+                    # regressed pgt).
+                    if prev_boxes_v is not None and view == 0:
+                        gt_boxes_view = prev_boxes_v[0][index, safe_cls]
                     else:
                         gt_boxes_view = boxes[view][index]
                     reg_terms.append(
