@@ -7,10 +7,18 @@ Measured program: the full jitted train step (4-view VGG16 forward, ROIPool over
 update) at the reference's production shapes (voc07_oicr_plus.yaml: min-size
 ~688, 4000 proposals, batch 1 image/chip like the reference's 1 image/GPU).
 
+Steps are executed as lax.scan supersteps (TPU.SCAN_STEPS=8, one dispatch per
+8 optimizer steps) — the production trainer configuration for remote-attached
+chips, where per-dispatch host overhead (~300 ms) would otherwise dwarf the
+~60 ms of device compute per step. Timing is closed with a device_get of the
+final metrics (a host readback is the only true synchronization through the
+axon tunnel; block_until_ready can return early).
+
 Baseline: the reference publishes no throughput numbers (SURVEY.md §6). We use
 a fixed 2.0 images/sec/GPU estimate for the reference's stage-1 multi-view
 VGG16 training on a V100-class GPU (batch 1/GPU, two-scale backbone at
-~688x1000 plus flips), so vs_baseline = our images/sec/chip / 2.0.
+~688x1000 plus flips); see BASELINE.md for the derivation. vs_baseline =
+images/sec/chip / 2.0.
 """
 from __future__ import annotations
 
@@ -18,6 +26,8 @@ import json
 import time
 
 import numpy as np
+
+SCAN_STEPS = 8
 
 
 def main():
@@ -29,35 +39,40 @@ def main():
     from sos_wsod_tpu.solver.build import torch_sgd, warmup_multistep_lr
     from __graft_entry__ import _tiny_image_batch
 
-    # production-ish stage-1 shapes: scale1 688x1024, scale2 576x864, P=4096
+    # production stage-1 shapes: scale1 688x1024, scale2 576x864, P=4096
     rng = np.random.RandomState(0)
     p = 4096
     batch1 = _tiny_image_batch(rng, p=p, h1=688, w1=1024, h2=576, w2=864)
-    batch = jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None], batch1)
+    # (K, B=1, ...) superbatch, device-resident across iterations
+    batch = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(jnp.asarray(x)[None, None],
+                                   (SCAN_STEPS, 1) + x.shape), batch1)
+    batch = jax.tree_util.tree_map(jnp.asarray, batch)
 
     model = MultiInputRCNN(num_classes=20, seed_cap=1024, dtype=jnp.bfloat16)
-    one = jax.tree_util.tree_map(lambda x: x[0], batch)
+    one = jax.tree_util.tree_map(lambda x: x[0, 0], batch)
     params = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, one, train=True
     )["params"]
     tx = torch_sgd(warmup_multistep_lr(1e-3, (35000,)), momentum=0.9)
     state = {"params": params, "opt_state": tx.init(params), "iter": jnp.zeros((), jnp.int32)}
 
-    step = jax.jit(make_stage1_train_step(model, tx, mesh=None, donate=True))
+    step = make_stage1_train_step(model, tx, mesh=None, donate=True,
+                                  scan_steps=SCAN_STEPS)
     key = jax.random.PRNGKey(2)
 
-    # warmup / compile
+    # warmup / compile; device_get is the true sync point through the tunnel
     state, m = step(state, batch, key)
-    jax.block_until_ready(m)
+    jax.device_get(m)
 
-    iters = 10
+    iters = 4  # supersteps -> 32 optimizer steps / images
     t0 = time.perf_counter()
     for i in range(iters):
         state, m = step(state, batch, jax.random.fold_in(key, i))
-    jax.block_until_ready(m)
+    jax.device_get(m)
     dt = time.perf_counter() - t0
 
-    imgs_per_sec = iters * 1 / dt
+    imgs_per_sec = iters * SCAN_STEPS / dt
     baseline = 2.0  # assumed reference GPU images/sec (see module docstring)
     print(json.dumps({
         "metric": "stage1_train_images_per_sec_per_chip",

@@ -126,10 +126,17 @@ class CfgNode(dict):
 def _coerce_value(value: Any, old: Any, full_key: str) -> Any:
     """Parse CLI string value and check type compatibility against the default."""
     if isinstance(value, str):
+        # yacs decodes CLI values with literal_eval first (python tuples like
+        # "('a','b')" are not valid YAML), falling back to YAML parsing
+        import ast
+
         try:
-            value = yaml.safe_load(value)
-        except yaml.YAMLError:
-            pass
+            value = ast.literal_eval(value)
+        except (ValueError, SyntaxError):
+            try:
+                value = yaml.safe_load(value)
+            except yaml.YAMLError:
+                pass
     if isinstance(value, (list, tuple)) and isinstance(old, (list, tuple)):
         return type(old)(value)
     if old is None or value is None:

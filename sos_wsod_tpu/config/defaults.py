@@ -302,5 +302,9 @@ def get_default_cfg() -> CN:
     _C.TPU.PARAM_DTYPE = "float32"
     _C.TPU.MESH_AXES = ("data",)         # data-parallel over ICI by default
     _C.TPU.REMAT_BACKBONE = False        # jax.checkpoint over backbone stages
+    # optimizer steps executed per dispatch (lax.scan superstep) — amortizes
+    # the per-execute host/tunnel overhead; periods (checkpoint/eval/writer)
+    # should be multiples of this
+    _C.TPU.SCAN_STEPS = 1
 
     return _C

@@ -52,16 +52,19 @@ def training_index_stream(n: int, seed: int = 0, shuffle: bool = True) -> Iterat
         yield from order.tolist()
 
 
-def _repad_to(sample: Dict[str, np.ndarray], bh: int, bw: int) -> Dict[str, np.ndarray]:
-    """Grow a mapped sample's image canvases to (bh, bw)."""
+def _repad_to(sample: Dict[str, np.ndarray], shapes: Dict[str, tuple]) -> Dict[str, np.ndarray]:
+    """Grow a mapped sample's image canvases to the per-key (bh, bw)."""
     out = dict(sample)
     for key in ("images_s1", "images_s2"):
-        if key in out:
+        if key in out and key in shapes:
+            bh, bw = shapes[key]
             imgs = out[key]
             if imgs.shape[1] != bh or imgs.shape[2] != bw:
                 out[key] = np.stack([pad_image(im, bh, bw) for im in imgs])
-    if "image" in out and (out["image"].shape[0] != bh or out["image"].shape[1] != bw):
-        out["image"] = pad_image(out["image"], bh, bw)
+    if "image" in out and "image" in shapes:
+        bh, bw = shapes["image"]
+        if out["image"].shape[0] != bh or out["image"].shape[1] != bw:
+            out["image"] = pad_image(out["image"], bh, bw)
     return out
 
 
@@ -114,13 +117,20 @@ def batched_stream(
         if len(buckets[b]) == batch_size:
             group = buckets[b]
             buckets[b] = []
-            bh = bw = 0
-            for g in group:
-                im = g.get("images_s1", g.get("image"))
-                gh, gw = (im.shape[1], im.shape[2]) if im.ndim == 4 else im.shape[:2]
-                bh, bw = max(bh, gh), max(bw, gw)
-            bh, bw = bucket_shape(bh, bw, size_divisibility)
-            yield [_repad_to(g, bh, bw) for g in group]
+            # per-key canvases: scale-1 and scale-2 pad independently so the
+            # smaller scale doesn't inherit the big scale's conv cost
+            shapes: Dict[str, tuple] = {}
+            for key in ("images_s1", "images_s2", "image"):
+                bh = bw = 0
+                for g in group:
+                    if key not in g:
+                        continue
+                    im = g[key]
+                    gh, gw = (im.shape[1], im.shape[2]) if im.ndim == 4 else im.shape[:2]
+                    bh, bw = max(bh, gh), max(bw, gw)
+                if bh:
+                    shapes[key] = bucket_shape(bh, bw, size_divisibility)
+            yield [_repad_to(g, shapes) for g in group]
 
 
 def build_stage1_train_loader(cfg, mapper=None, batch_size: Optional[int] = None):

@@ -18,6 +18,23 @@ from ..catalog import DatasetCatalog, MetadataCatalog
 
 logger = logging.getLogger(__name__)
 
+# the 80 thing classes in contiguous order (builtin_meta.py COCO_CATEGORIES)
+COCO_CLASS_NAMES = (
+    "person", "bicycle", "car", "motorcycle", "airplane", "bus", "train",
+    "truck", "boat", "traffic light", "fire hydrant", "stop sign",
+    "parking meter", "bench", "bird", "cat", "dog", "horse", "sheep", "cow",
+    "elephant", "bear", "zebra", "giraffe", "backpack", "umbrella", "handbag",
+    "tie", "suitcase", "frisbee", "skis", "snowboard", "sports ball", "kite",
+    "baseball bat", "baseball glove", "skateboard", "surfboard",
+    "tennis racket", "bottle", "wine glass", "cup", "fork", "knife", "spoon",
+    "bowl", "banana", "apple", "sandwich", "orange", "broccoli", "carrot",
+    "hot dog", "pizza", "donut", "cake", "chair", "couch", "potted plant",
+    "bed", "dining table", "toilet", "tv", "laptop", "mouse", "remote",
+    "keyboard", "cell phone", "microwave", "oven", "toaster", "sink",
+    "refrigerator", "book", "clock", "vase", "scissors", "teddy bear",
+    "hair drier", "toothbrush",
+)
+
 
 def load_coco_json(json_file: str, image_root: str, dataset_name: Optional[str] = None) -> List[dict]:
     with open(json_file) as f:
@@ -48,13 +65,14 @@ def load_coco_json(json_file: str, image_root: str, dataset_name: Optional[str] 
         }
         objs = []
         for ann in anns_by_image.get(img["id"], []):
-            if ann.get("iscrowd", 0):
-                continue
+            # crowd annotations are kept (they act as ignore regions in the
+            # evaluator, like d2/pycocotools); training mappers filter them
             x, y, w, h = ann["bbox"]  # COCO XYWH -> XYXY
             objs.append(
                 {
                     "category_id": id_map.get(ann["category_id"], ann["category_id"]),
                     "bbox": [x, y, x + w, y + h],
+                    "iscrowd": ann.get("iscrowd", 0),
                     "area": ann.get("area", w * h),
                 }
             )

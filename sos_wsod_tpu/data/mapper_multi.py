@@ -11,7 +11,7 @@ Parity target: DatasetMapperMultiInput
   - proposals transformed per view, clipped; keep-mask = AND over views of
     (unique-box-hash ∧ nonempty) (:340-363)
 TPU additions: views are padded to a bucketed canvas (divisible by
-``size_divisibility``; both scales share one canvas to keep the jit cache
+``size_divisibility``; each scale has its own canvas to keep the jit cache
 linear in buckets) and proposals are padded to a static capacity with a
 validity mask.
 """
@@ -86,7 +86,9 @@ class DatasetMapperMultiInput:
         # default (unbounded) max_size (uwsod/detectron2/data/dataset_mapper.py:
         # 310-317) — clamping here could map every candidate size onto shape1
         # and spin forever on high-aspect-ratio images.
-        sizes = [s for s in self.min_size_train if s != min(shape1)]
+        # single-size configs (smoke tests) fall back to the full list and
+        # accept an equal shape after the bounded retries
+        sizes = [s for s in self.min_size_train if s != min(shape1)] or list(self.min_size_train)
         for _ in range(100):
             t = T.resize_shortest_edge(h, w, sizes, 2 ** 31, self.rng)
             if t.output_size != tuple(shape1):
@@ -152,16 +154,18 @@ class DatasetMapperMultiInput:
 
         # image-level labels
         gt_oh = np.zeros((self.num_classes,), np.float32)
-        classes = sorted({a["category_id"] for a in d.get("annotations", [])})
+        classes = sorted({a["category_id"] for a in d.get("annotations", [])
+                          if not a.get("iscrowd", 0)})
         if not classes:
             return None  # stage-1 trainer skips label-less images
         gt_oh[classes] = 1.0
 
-        bh = max(shape1[0], shape2[0])
-        bw = max(shape1[1], shape2[1])
-        bh, bw = bucket_shape(bh, bw, self.size_divisibility)
-        imgs_s1 = np.stack([pad_image(img1, bh, bw), pad_image(img1f, bh, bw)]).astype(np.float32)
-        imgs_s2 = np.stack([pad_image(img2, bh, bw), pad_image(img2f, bh, bw)]).astype(np.float32)
+        # each scale gets its own bucketed canvas — padding scale-2 (usually
+        # smaller) up to scale-1's canvas would waste ~40% of its conv compute
+        bh1, bw1 = bucket_shape(shape1[0], shape1[1], self.size_divisibility)
+        bh2, bw2 = bucket_shape(shape2[0], shape2[1], self.size_divisibility)
+        imgs_s1 = np.stack([pad_image(img1, bh1, bw1), pad_image(img1f, bh1, bw1)]).astype(np.float32)
+        imgs_s2 = np.stack([pad_image(img2, bh2, bw2), pad_image(img2f, bh2, bw2)]).astype(np.float32)
 
         return {
             "images_s1": imgs_s1,

@@ -108,7 +108,9 @@ class DatasetMapperTwoCropSeparate:
         gt_boxes = np.zeros((cap, 4), np.float32)
         gt_classes = np.zeros((cap,), np.int32)
         gt_valid = np.zeros((cap,), bool)
-        anns = d.get("annotations", [])
+        # crowd regions are evaluator-only ignore zones, never training gt
+        # (d2 DatasetMapper filters iscrowd != 0)
+        anns = [a for a in d.get("annotations", []) if not a.get("iscrowd", 0)]
         boxes = np.asarray([a["bbox"] for a in anns], np.float32).reshape(-1, 4)
         classes = np.asarray([a["category_id"] for a in anns], np.int64)
         if boxes.shape[0]:

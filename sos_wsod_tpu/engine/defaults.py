@@ -58,6 +58,33 @@ def default_setup(cfg, args):
         np.random.seed(seed)
 
 
+def auto_scale_workers(cfg, num_workers: int):
+    """Rescale LR / WSL.ITER_SIZE when running on fewer chips than the recipe.
+
+    Parity target: the WSL trainer's ``auto_scale_workers``
+    (uwsod/projects/WSL/tools/train_net.py:309-328): when
+    SOLVER.REFERENCE_WORLD_SIZE is set and the actual world size is SMALLER,
+    divide BASE_LR by the scale and ceil-multiply WSL.ITER_SIZE so the
+    effective batch per optimizer step is preserved via gradient accumulation.
+    Larger-than-reference worlds are left unchanged, like the reference.
+    """
+    import math
+
+    old_world_size = cfg.SOLVER.REFERENCE_WORLD_SIZE
+    if old_world_size in (0, num_workers) or old_world_size < num_workers:
+        return cfg
+    frozen = cfg.is_frozen()  # our clone() does not preserve frozen state
+    cfg = cfg.clone()
+    cfg.defrost()
+    scale = num_workers / old_world_size
+    lr = cfg.SOLVER.BASE_LR = cfg.SOLVER.BASE_LR / scale
+    iter_size = cfg.WSL.ITER_SIZE = math.ceil(cfg.WSL.ITER_SIZE / scale)
+    logger.info("Auto-scaling the config to iter_size=%s, learning_rate=%s", iter_size, lr)
+    if frozen:
+        cfg.freeze()
+    return cfg
+
+
 def run_stage1_inference(model, params, data_iter: Iterable, evaluator) -> OrderedDict:
     """Drive single-image OICR+ inference over a test stream into an evaluator.
 

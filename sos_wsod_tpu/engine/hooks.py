@@ -114,7 +114,11 @@ class EvalHook(HookBase):
                 self._do_eval()
 
     def after_train(self):
-        self._do_eval()
+        # only eval when training actually reached max_iter (d2 EvalHook
+        # semantics) — otherwise an earlier exception would be masked by an
+        # eval over a half-built trainer state
+        if self.trainer.iter + 1 >= self.trainer.max_iter:
+            self._do_eval()
 
 
 class LRSchedulerHook(HookBase):

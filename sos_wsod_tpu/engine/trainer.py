@@ -46,6 +46,9 @@ class TrainerBase:
             h.trainer = weakref.proxy(self)
         self._hooks.extend(hooks)
 
+    #: iterations consumed per run_step (scan-K supersteps advance by K)
+    step_stride: int = 1
+
     def train(self, start_iter: int, max_iter: int):
         logger.info("Starting training from iteration %d", start_iter)
         self.iter = self.start_iter = start_iter
@@ -53,11 +56,18 @@ class TrainerBase:
         with EventStorage(start_iter) as self.storage:
             try:
                 self.before_train()
-                for self.iter in range(start_iter, max_iter):
+                for base_iter in range(start_iter, max_iter, self.step_stride):
+                    self.iter = base_iter
                     self.before_step()
                     self.run_step()
-                    self.after_step()
-                    self.storage.step()
+                    # replay after-step bookkeeping for every iteration the
+                    # (super)step covered so periodic hooks fire exactly
+                    for self.iter in range(
+                        base_iter, min(base_iter + self.step_stride, max_iter)
+                    ):
+                        self.storage.iter = self.iter
+                        self.after_step()
+                        self.storage.step()
                 self.iter += 1
             finally:
                 self.after_train()
@@ -101,12 +111,21 @@ def make_stage1_train_step(
     mesh=None,
     data_axis: str = "data",
     donate: bool = True,
+    scan_steps: int = 1,
 ) -> Callable:
     """Build the jitted SPMD train step.
 
     state: {'params', 'opt_state', 'iter'}; batch: pytree with leading global
     batch axis (divisible by mesh size); rng: scalar PRNG key (dropout).
     Returns (new_state, metrics) with metrics reduced to scalars.
+
+    scan_steps > 1 runs K optimizer steps per dispatch via ``lax.scan`` over a
+    (K, B, ...) superbatch (metrics come back stacked, (K, ...)). One dispatch
+    per K steps amortizes the per-execute host/tunnel overhead that otherwise
+    dominates on remote-attached TPUs: the device is busy ~60 ms/step while a
+    single-step dispatch costs ~380 ms wall. The reference has no analog — its
+    GPU runtime is dispatch-cheap; this is the TPU-native replacement for the
+    tight CUDA step loop.
     """
 
     def loss_fn(params, batch, rng):
@@ -121,8 +140,11 @@ def make_stage1_train_step(
         losses = jax.vmap(per_image)(batch, keys)  # dict of (B,)
         mean_losses = jax.tree_util.tree_map(jnp.mean, losses)
         total = jnp.asarray(0.0, jnp.float32)
-        for v in mean_losses.values():
-            total = total + v
+        # non-"loss" keys are training metrics (per-branch accuracy/fg
+        # counters) riding along in the aux dict, not loss terms
+        for k, v in mean_losses.items():
+            if k.startswith("loss"):
+                total = total + v
         return total, mean_losses
 
     def step(state, batch, rng):
@@ -136,11 +158,25 @@ def make_stage1_train_step(
         metrics["total_loss"] = total
         return new_state, metrics
 
+    if scan_steps > 1:
+        single = step
+
+        def step(state, superbatch, rng):  # noqa: F811 — scan-K wrapper
+            def body(carry, xs):
+                sub_batch, i = xs
+                new_carry, m = single(carry, sub_batch, jax.random.fold_in(rng, i))
+                return new_carry, m
+
+            idx = jnp.arange(scan_steps)
+            state, metrics = jax.lax.scan(body, state, (superbatch, idx))
+            return state, metrics  # metrics stacked (K, ...)
+
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         repl = NamedSharding(mesh, P())
-        data = NamedSharding(mesh, P(data_axis))
+        # with scan_steps the superbatch is (K, B, ...): shard the batch axis
+        data = NamedSharding(mesh, P(None, data_axis) if scan_steps > 1 else P(data_axis))
         return jax.jit(
             step,
             in_shardings=(repl, data, repl),
@@ -178,12 +214,17 @@ class Stage1Trainer(TrainerBase):
             # matching the reference's auto_scale_workers LR/iter_size rescale.
             tx = optax.MultiSteps(tx, every_k_schedule=iter_size)
         self.tx = tx
-        self.train_step = make_stage1_train_step(self.model, tx, mesh=mesh)
+        self.step_stride = max(1, int(getattr(cfg.TPU, "SCAN_STEPS", 1) or 1))
+        self.train_step = make_stage1_train_step(
+            self.model, tx, mesh=mesh, scan_steps=self.step_stride
+        )
         self.rng = rng if rng is not None else jax.random.PRNGKey(max(cfg.SEED, 0))
         self.state: Optional[Dict[str, Any]] = None
 
     def init_state(self, example_batch) -> Dict[str, Any]:
-        one = jax.tree_util.tree_map(lambda x: jnp.asarray(np.asarray(x)[0]), example_batch)
+        ix = (0, 0) if self.step_stride > 1 else (0,)
+        one = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(np.asarray(x)[ix]), example_batch)
         k0, k1, self.rng = jax.random.split(self.rng, 3)
         params = self.model.init({"params": k0, "dropout": k1}, one, train=True)["params"]
         self.state = {
@@ -201,9 +242,16 @@ class Stage1Trainer(TrainerBase):
         import time
 
         t0 = time.perf_counter()
-        batch = next(self.data_iter)
-        if isinstance(batch, list):
-            batch = stack_batch(batch)
+        batches = []
+        for _ in range(self.step_stride):
+            batch = next(self.data_iter)
+            if isinstance(batch, list):
+                batch = stack_batch(batch)
+            batches.append(batch)
+        if self.step_stride > 1:
+            batch = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
+        else:
+            batch = batches[0]
         data_time = time.perf_counter() - t0
         if self.state is None:
             self.init_state(batch)
@@ -214,12 +262,14 @@ class Stage1Trainer(TrainerBase):
             batch = shard_batch(batch, self.mesh)
         self.state, metrics = self.train_step(self.state, batch, key)
         metrics = jax.device_get(metrics)
-        total = float(metrics["total_loss"])
+        # scan-K supersteps return stacked (K,) metrics — log the mean
+        metrics = {k: float(np.mean(v)) for k, v in metrics.items()}
+        total = metrics["total_loss"]
         if not np.isfinite(total):
             raise FloatingPointError(f"Loss became {total} at iteration {self.iter}")
         self.storage.put_scalar("data_time", data_time)
         for k, v in metrics.items():
-            self.storage.put_scalar(k, float(v))
+            self.storage.put_scalar(k, v)
 
     def state_dict(self) -> Dict[str, Any]:
         return self.state

@@ -43,21 +43,39 @@ def bbox_iou_xyxy(dets: np.ndarray, gts: np.ndarray) -> np.ndarray:
     return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
 
 
-def _evaluate_image(dets, det_scores, gts, gt_areas, area_rng, max_det):
+def _evaluate_image(dets, det_scores, gts, gt_areas, area_rng, max_det,
+                    gt_crowd=None):
     """Greedy matching for one (image, category). Returns (dtm (T, D),
-    dt_ignore (T, D), gt_ignore (G,), scores (D,)) with D <= max_det."""
+    dt_ignore (T, D), gt_ignore (G,), scores (D,)) with D <= max_det.
+
+    pycocotools semantics: area-range bounds are INCLUSIVE at the top
+    (ignore iff area < lo or area > hi, cocoeval.py evaluateImg); crowd gts
+    are ignore regions that may absorb any number of detections, with IoU
+    measured as intersection-over-det-area (maskUtils.iou iscrowd flag)."""
     t = len(IOU_THRS)
     order = np.argsort(-det_scores, kind="mergesort")[:max_det]
     dets = dets[order]
     scores = det_scores[order]
     d = dets.shape[0]
     g = gts.shape[0]
-    gt_ig = ~((gt_areas >= area_rng[0]) & (gt_areas < area_rng[1]))
+    if gt_crowd is None:
+        gt_crowd = np.zeros(g, bool)
+    gt_ig = gt_crowd | (gt_areas < area_rng[0]) | (gt_areas > area_rng[1])
     # sort gts: non-ignored first (pycocotools gtind ordering)
     gind = np.argsort(gt_ig, kind="mergesort")
     gts = gts[gind]
     gt_ig = gt_ig[gind]
+    gt_crowd = gt_crowd[gind]
     ious = bbox_iou_xyxy(dets, gts)
+    if gt_crowd.any() and d:
+        # crowd IoU = intersection / det area
+        lt = np.maximum(dets[:, None, :2], gts[None, :, :2])
+        rb = np.minimum(dets[:, None, 2:], gts[None, :, 2:])
+        wh = np.clip(rb - lt, 0, None)
+        inter = wh[..., 0] * wh[..., 1]
+        darea = (dets[:, 2] - dets[:, 0]) * (dets[:, 3] - dets[:, 1])
+        iou_crowd = np.where(darea[:, None] > 0, inter / np.maximum(darea[:, None], 1e-12), 0.0)
+        ious = np.where(gt_crowd[None, :], iou_crowd, ious)
     dtm = np.zeros((t, d), dtype=np.int64) - 1
     gtm = np.zeros((t, g), dtype=np.int64) - 1
     for ti, thr in enumerate(IOU_THRS):
@@ -65,7 +83,8 @@ def _evaluate_image(dets, det_scores, gts, gt_areas, area_rng, max_det):
             iou = min(thr, 1 - 1e-10)
             m = -1
             for gi in range(g):
-                if gtm[ti, gi] >= 0:
+                # a matched gt can only be re-matched if it is a crowd region
+                if gtm[ti, gi] >= 0 and not gt_crowd[gi]:
                     continue
                 # best non-ignored match found and this gt is ignored: stop
                 if m > -1 and not gt_ig[m] and gt_ig[gi]:
@@ -79,7 +98,7 @@ def _evaluate_image(dets, det_scores, gts, gt_areas, area_rng, max_det):
                 gtm[ti, m] = di
     # det ignored if matched to an ignored gt, or unmatched with area outside rng
     det_areas = (dets[:, 2] - dets[:, 0]) * (dets[:, 3] - dets[:, 1])
-    out_of_rng = ~((det_areas >= area_rng[0]) & (det_areas < area_rng[1]))
+    out_of_rng = (det_areas < area_rng[0]) | (det_areas > area_rng[1])
     dt_ig = np.zeros((t, d), dtype=bool)
     for ti in range(t):
         matched = dtm[ti] >= 0
@@ -151,7 +170,10 @@ class COCOEvaluator:
                     [a.get("area", (a["bbox"][2] - a["bbox"][0]) * (a["bbox"][3] - a["bbox"][1]))
                      for a in anns], np.float64,
                 )
-                annotations[d["image_id"]] = {"boxes": boxes, "classes": classes, "areas": areas}
+                crowd = np.asarray([bool(a.get("iscrowd", 0)) for a in anns], bool)
+                annotations[d["image_id"]] = {
+                    "boxes": boxes, "classes": classes, "areas": areas, "crowd": crowd,
+                }
         self._annotations = annotations
         if num_classes is None:
             num_classes = 1 + max(
@@ -207,13 +229,15 @@ class COCOEvaluator:
                     sel = ann["classes"] == cls
                     gts = ann["boxes"][sel]
                     gt_areas = ann["areas"][sel]
+                    gt_crowd = ann.get("crowd")
+                    gt_crowd = gt_crowd[sel] if gt_crowd is not None else None
                     items = self._dets.get(image_id, {}).get(cls, [])
                     dets = np.asarray([b for b, _ in items], np.float64).reshape(-1, 4)
                     dscores = np.asarray([s for _, s in items], np.float64)
                     if gts.size == 0 and dets.size == 0:
                         continue
                     dtm, dt_ig, gt_ig, sc = _evaluate_image(
-                        dets, dscores, gts, gt_areas, rng, max_det
+                        dets, dscores, gts, gt_areas, rng, max_det, gt_crowd
                     )
                     n_gt += int((~gt_ig).sum())
                     per_image.append((dtm, dt_ig, sc))

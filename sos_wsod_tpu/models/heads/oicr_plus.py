@@ -247,6 +247,27 @@ class OICRPlusHead(nn.Module):
             if self.refine_reg[k]:
                 losses[f"loss_box_reg_r{k}"] = jnp.mean(jnp.stack(reg_terms)) * term_weight
 
+            # per-branch training metrics (reference _log_accuracy,
+            # fast_rcnn_oicr.py:245-256, and the fg/bg/ig counters of
+            # label_and_sample_proposals, roi_heads.py:360-373). Keys do NOT
+            # start with "loss" so the train step excludes them from the
+            # total; view accuracies are averaged instead of logged 4x.
+            nv = jnp.sum(prop_valid).astype(jnp.float32)
+            ig = prop_valid & (cls == -1)
+            bg = prop_valid & (cls == self.num_classes)
+            fgm = prop_valid & (cls >= 0) & (cls < self.num_classes)
+            n_fg = jnp.sum(fgm).astype(jnp.float32)
+            pred = jnp.argmax(jax.lax.stop_gradient(sc), axis=-1)  # (4, P)
+            acc = jnp.sum((pred == cls[None]) & prop_valid[None], axis=1) / jnp.maximum(nv, 1)
+            fg_acc = jnp.sum((pred == cls[None]) & fgm[None], axis=1) / jnp.maximum(n_fg, 1)
+            fneg = jnp.sum((pred == self.num_classes) & fgm[None], axis=1) / jnp.maximum(n_fg, 1)
+            losses[f"roi_head/num_fg_samples_r{k}"] = n_fg
+            losses[f"roi_head/num_bg_samples_r{k}"] = jnp.sum(bg).astype(jnp.float32)
+            losses[f"roi_head/num_ig_samples_r{k}"] = jnp.sum(ig).astype(jnp.float32)
+            losses[f"fast_rcnn/cls_accuracy_r{k}"] = jnp.mean(acc)
+            losses[f"fast_rcnn/fg_cls_accuracy_r{k}"] = jnp.mean(fg_acc)
+            losses[f"fast_rcnn/false_negative_r{k}"] = jnp.mean(fneg)
+
             probs = jax.nn.softmax(jnp.asarray(sc, jnp.float32), axis=-1)  # (4, P, K+1)
             prev = jax.lax.stop_gradient(jnp.mean(probs, axis=0))
             if self.bbox_update and self.refine_reg[k]:

@@ -101,13 +101,13 @@ class MultiInputRCNN(nn.Module):
           boxes: (4, P, 4) per-view proposal coords [s1, s1f, s2, s2f]
           objectness: (P,); prop_valid: (P,); gt_classes_oh: (K,)
         """
-        f1 = self.backbone(self._normalize(batch["images_s1"]), batch["valid_hw_s1"])["plain5"]
-        f2 = self.backbone(self._normalize(batch["images_s2"]), batch["valid_hw_s2"])["plain5"]
         boxes = batch["boxes"]
         pv = batch["prop_valid"]
         obn = None
         if self.pooler_type == "ROIPool":
             obn = (batch["objectness"] + 1.0).astype(self.dtype)
+        f1 = self.backbone(self._normalize(batch["images_s1"]), batch["valid_hw_s1"])["plain5"]
+        f2 = self.backbone(self._normalize(batch["images_s2"]), batch["valid_hw_s2"])["plain5"]
         pooled = jnp.stack(
             [
                 self._pool(f1[0], boxes[0], pv, obn),

@@ -153,3 +153,58 @@ def test_dryrun_multichip_self_provisions_from_one_device():
     )
     assert proc.returncode == 0, f"stdout={proc.stdout}\nstderr={proc.stderr}"
     assert "OK: total_loss=" in proc.stdout
+
+
+def test_auto_scale_workers():
+    from sos_wsod_tpu.config import get_default_cfg
+    from sos_wsod_tpu.engine.defaults import auto_scale_workers
+
+    cfg = get_default_cfg()
+    cfg.SOLVER.REFERENCE_WORLD_SIZE = 4
+    cfg.SOLVER.BASE_LR = 0.001
+    cfg.WSL.ITER_SIZE = 1
+    cfg.freeze()
+    out = auto_scale_workers(cfg, 1)
+    # reference formula (train_net.py:309-328): lr /= scale, iter_size ceil-div
+    assert out.SOLVER.BASE_LR == pytest.approx(0.004)
+    assert out.WSL.ITER_SIZE == 4
+    assert out.is_frozen()
+    # same or larger world size: unchanged config object
+    assert auto_scale_workers(cfg, 4) is cfg
+    assert auto_scale_workers(cfg, 8) is cfg
+
+
+def test_scan_superstep_matches_single_steps():
+    """scan_steps=2 must reproduce two sequential single-step updates exactly."""
+    model = MultiInputRCNN(num_classes=20, seed_cap=16, dan_dims=(32, 32))
+    samples = _tiny_samples(2)
+    b0 = jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None], samples[0])
+    b1 = jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None], samples[1])
+    superbatch = jax.tree_util.tree_map(lambda a, b: jnp.stack([a, b]), b0, b1)
+
+    one = jax.tree_util.tree_map(lambda x: x[0], b0)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, one, train=True
+    )["params"]
+    tx = torch_sgd(warmup_multistep_lr(1e-3, (100,)), momentum=0.9)
+
+    def fresh_state():
+        return {"params": params, "opt_state": tx.init(params),
+                "iter": jnp.zeros((), jnp.int32)}
+
+    key = jax.random.PRNGKey(7)
+    single = make_stage1_train_step(model, tx, donate=False)
+    s = fresh_state()
+    s, m0 = single(s, b0, jax.random.fold_in(key, 0))
+    s, m1 = single(s, b1, jax.random.fold_in(key, 1))
+
+    scan2 = make_stage1_train_step(model, tx, donate=False, scan_steps=2)
+    s2, m = scan2(fresh_state(), superbatch, key)
+
+    assert int(s2["iter"]) == 2
+    np.testing.assert_allclose(
+        np.asarray(m["total_loss"]),
+        np.asarray([m0["total_loss"], m1["total_loss"]]), rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s["params"]),
+                    jax.tree_util.tree_leaves(s2["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)

@@ -145,3 +145,22 @@ def test_filter_metrics():
     assert [r["iteration"] for r in out] == [0, 2, 4, 6, 8]
     assert set(out[0]) == {"iteration", "total_loss"}
     assert len(filter_metrics(lines)) == 10
+
+
+def test_builtin_extra_registrations():
+    from sos_wsod_tpu.data.catalog import DatasetCatalog, MetadataCatalog
+    from sos_wsod_tpu.data.datasets.builtin_extra import register_all_extra
+
+    register_all_extra()
+    expected = [
+        "flickr_voc", "flickr_coco", "voc_2007_train_pgt", "voc_2007_val_pgt",
+        "voc_2012_train_instance", "voc_2012_val_instance", "sbd_9118_instance",
+        "voc_2012_train_instance_pgt", "sbd_9118_instance_pgt",
+    ]
+    for name in expected:
+        assert name in DatasetCatalog, name
+    assert len(MetadataCatalog.get("flickr_voc").thing_classes) == 20
+    assert len(MetadataCatalog.get("flickr_coco").thing_classes) == 80
+    assert len(MetadataCatalog.get("sbd_9118_instance").thing_classes) == 20
+    # idempotent re-registration
+    register_all_extra()

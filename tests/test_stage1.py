@@ -157,7 +157,12 @@ def test_stage1_train_loss_and_grads():
     expected_keys = {"loss_cls"} | {f"loss_cls_r{k}" for k in range(4)} | {
         f"loss_box_reg_r{k}" for k in range(4)
     }
-    assert set(losses.keys()) == expected_keys
+    assert {k for k in losses if k.startswith("loss")} == expected_keys
+    # per-branch training metrics ride along under non-"loss" keys
+    for k in range(4):
+        assert f"fast_rcnn/cls_accuracy_r{k}" in losses
+        assert f"roi_head/num_fg_samples_r{k}" in losses
+        assert 0.0 <= float(losses[f"fast_rcnn/cls_accuracy_r{k}"]) <= 1.0
     assert np.isfinite(float(total))
     flat = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in flat)

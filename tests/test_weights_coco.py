@@ -153,3 +153,72 @@ def test_torchvision_vgg16_mapping():
     assert fc1.shape == (98, 8)
     w = sd["classifier.0.weight"]
     np.testing.assert_allclose(fc1[3 * 2 + 1], w[:, 1 * 49 + 3])
+
+
+def test_coco_eval_crowd_absorbs_detections():
+    """Crowd gts are ignore regions: dets matching them (by inter/det-area)
+    are neither TP nor FP, and any number may match one crowd region."""
+    anns = {
+        1: {
+            "boxes": np.asarray([[0.0, 0, 50, 50], [100, 100, 300, 300]]),
+            "classes": np.asarray([0, 0], np.int64),
+            "areas": np.asarray([2500.0, 40000.0]),
+            "crowd": np.asarray([False, True]),
+        }
+    }
+    ev = COCOEvaluator("test", annotations=anns, num_classes=1)
+    # TP + two dets fully inside the crowd region (would be FPs otherwise)
+    ev.process_single(
+        1,
+        [[0, 0, 50, 50], [110, 110, 150, 150], [200, 200, 250, 250]],
+        [0.9, 0.95, 0.85],
+        [0, 0, 0],
+    )
+    res = ev.evaluate()["bbox"]
+    assert res["AP50"] == pytest.approx(100.0)
+    assert res["AP"] == pytest.approx(100.0)
+
+    # same dets without the crowd flag: the high-scoring FP caps precision
+    anns_nc = {k: dict(v, crowd=np.zeros(2, bool)) for k, v in anns.items()}
+    ev2 = COCOEvaluator("test", annotations=anns_nc, num_classes=1)
+    ev2.process_single(
+        1,
+        [[0, 0, 50, 50], [110, 110, 150, 150], [200, 200, 250, 250]],
+        [0.9, 0.95, 0.85],
+        [0, 0, 0],
+    )
+    assert ev2.evaluate()["bbox"]["AP50"] < 60.0
+
+
+def test_coco_eval_area_range_boundaries_inclusive():
+    """pycocotools ignores gt iff area < lo or area > hi — both bounds
+    inclusive, so area == 32^2 counts for BOTH small and medium."""
+    # a 32x32 box: area exactly 1024
+    anns = {1: {
+        "boxes": np.asarray([[0.0, 0, 32, 32]]),
+        "classes": np.asarray([0], np.int64),
+        "areas": np.asarray([1024.0]),
+        "crowd": np.asarray([False]),
+    }}
+    ev = COCOEvaluator("test", annotations=anns, num_classes=1)
+    ev.process_single(1, [[0, 0, 32, 32]], [0.9], [0])
+    res = ev.evaluate()["bbox"]
+    assert res["APs"] == pytest.approx(100.0)
+    assert res["APm"] == pytest.approx(100.0)
+    assert np.isnan(res["APl"])
+
+
+def test_coco_eval_ignored_det_matched_to_out_of_range_gt():
+    """A det matched to an area-ignored gt is ignored, not an FP."""
+    anns = {1: {
+        "boxes": np.asarray([[0.0, 0, 200, 200], [300, 300, 310, 310]]),
+        "classes": np.asarray([0, 0], np.int64),
+        "areas": np.asarray([40000.0, 100.0]),
+        "crowd": np.asarray([False, False]),
+    }}
+    ev = COCOEvaluator("test", annotations=anns, num_classes=1)
+    ev.process_single(1, [[0, 0, 200, 200], [300, 300, 310, 310]], [0.95, 0.9], [0, 0])
+    res = ev.evaluate()["bbox"]
+    # small range: only the tiny gt is live; the big det matches an ignored gt
+    assert res["APs"] == pytest.approx(100.0)
+    assert res["APl"] == pytest.approx(100.0)

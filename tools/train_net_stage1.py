@@ -15,6 +15,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from sos_wsod_tpu.config import get_default_cfg  # noqa: E402
 from sos_wsod_tpu.engine.defaults import (  # noqa: E402
+    auto_scale_workers,
     default_argument_parser,
     default_setup,
     run_stage1_inference,
@@ -22,11 +23,14 @@ from sos_wsod_tpu.engine.defaults import (  # noqa: E402
 
 
 def setup(args):
+    import jax
+
     cfg = get_default_cfg()
     if args.config_file:
         cfg.merge_from_file(args.config_file)
     cfg.merge_from_list(args.opts or [])
     cfg.freeze()
+    cfg = auto_scale_workers(cfg, len(jax.devices()))
     default_setup(cfg, args)
     return cfg
 
