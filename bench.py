@@ -23,9 +23,15 @@ images/sec/chip / 2.0.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+# persistent compile cache: the stage-1 train step takes ~10 min to compile
+# through the TPU tunnel; cached reruns start in seconds
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_tpu_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 SCAN_STEPS = 8
 

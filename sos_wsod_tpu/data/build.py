@@ -135,14 +135,30 @@ def batched_stream(
 
 def build_stage1_train_loader(cfg, mapper=None, batch_size: Optional[int] = None):
     """Infinite stream of stage-1 multi-view batches (global batch size =
-    SOLVER.IMS_PER_BATCH unless overridden)."""
-    from .mapper_multi import DatasetMapperMultiInput
+    SOLVER.IMS_PER_BATCH unless overridden). Single-view WSL
+    meta-architectures (GeneralizedRCNNWSL, reference train_net.py) get the
+    stock one-view mapper instead of the 4-view multi-input one."""
+    from .mapper_multi import DatasetMapperMultiInput, DatasetMapperSingle
 
     dataset_dicts = get_detection_dataset_dicts(
         cfg.DATASETS.TRAIN,
         filter_empty=cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS,
         proposal_files=cfg.DATASETS.PROPOSAL_FILES_TRAIN if cfg.MODEL.LOAD_PROPOSALS else None,
     )
+    if mapper is None and cfg.MODEL.META_ARCHITECTURE != "MultiInputRCNN":
+        mapper = DatasetMapperSingle(
+            min_size_train=cfg.INPUT.MIN_SIZE_TRAIN,
+            max_size_train=cfg.INPUT.MAX_SIZE_TRAIN,
+            crop_enabled=cfg.INPUT.CROP.ENABLED,
+            crop_type=cfg.INPUT.CROP.TYPE,
+            crop_size=cfg.INPUT.CROP.SIZE,
+            random_flip=cfg.INPUT.RANDOM_FLIP != "none",
+            proposal_topk=cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TRAIN,
+            proposal_capacity=cfg.TPU.PROPOSAL_CAPACITY,
+            num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
+            size_divisibility=cfg.TPU.IMAGE_SIZE_DIVISIBILITY,
+            seed=max(cfg.SEED, 0),
+        )
     if mapper is None:
         mapper = DatasetMapperMultiInput(
             min_size_train=cfg.INPUT.MIN_SIZE_TRAIN,

@@ -178,3 +178,97 @@ class DatasetMapperMultiInput:
             "gt_classes_oh": gt_oh,
             "image_id": d.get("image_id"),
         }
+
+
+class DatasetMapperSingle:
+    """Single-view WSL train mapper (reference stock DatasetMapper train path
+    as used by uwsod/projects/WSL/tools/train_net.py): one random
+    resize-shortest-edge + optional crop + random hflip, proposals
+    transformed/deduped/padded, image-level one-hot labels. Produces the
+    GeneralizedRCNNWSL batch schema (models/meta/rcnn_wsl_single.py:157)."""
+
+    def __init__(
+        self,
+        *,
+        min_size_train,
+        max_size_train: int,
+        crop_enabled: bool = False,
+        crop_type: str = "relative_range",
+        crop_size=(0.9, 0.9),
+        random_flip: bool = True,
+        proposal_topk: int = 4000,
+        proposal_capacity: int = 4096,
+        num_classes: int = 20,
+        size_divisibility: int = 64,
+        seed: int = 1234,
+    ):
+        self.min_size_train = list(min_size_train)
+        self.max_size_train = max_size_train
+        self.crop_enabled = crop_enabled
+        self.crop_type = crop_type
+        self.crop_size = list(crop_size)
+        self.random_flip = random_flip
+        self.proposal_topk = proposal_topk
+        self.capacity = proposal_capacity
+        self.num_classes = num_classes
+        self.size_divisibility = size_divisibility
+        self.rng = np.random.RandomState(seed)
+
+    def __call__(self, dataset_dict: Dict) -> Optional[Dict]:
+        d = dict(dataset_dict)
+        image = d.get("image")
+        if image is None:
+            image = read_image_bgr(d["file_name"])
+        h, w = image.shape[:2]
+
+        tl = []
+        if self.crop_enabled:
+            tl.append(T.random_crop(h, w, self.crop_type, self.crop_size, self.rng))
+            ch, cw = tl[-1].output_size
+        else:
+            ch, cw = h, w
+        tl.append(T.resize_shortest_edge(
+            ch, cw, self.min_size_train, self.max_size_train, self.rng))
+        ih, iw = tl[-1].output_size
+        if self.random_flip and self.rng.rand() < 0.5:
+            tl.append(T.HFlipTransform(ih, iw))
+        tfm = T.TransformList(tl)
+        img = tfm.apply_image(image).astype(np.float32)
+
+        raw_boxes = np.asarray(d["proposal_boxes"], np.float32)[
+            : max(self.proposal_topk, 0) or None]
+        raw_logits = np.asarray(d["proposal_objectness_logits"], np.float32)[
+            : raw_boxes.shape[0]]
+        b = tfm.apply_box(raw_boxes)
+        b = T.clip_boxes_np(b, (ih, iw))
+        keep = unique_boxes_keep_mask(b) & _nonempty_np(b)
+        n_kept = int(keep.sum())
+        if n_kept == 0:
+            return None
+        n = min(n_kept, self.capacity)
+
+        cap = self.capacity
+        boxes = np.zeros((cap, 4), np.float32)
+        boxes[:n] = b[keep][:n]
+        objectness = np.zeros((cap,), np.float32)
+        objectness[:n] = raw_logits[keep][:n]
+        valid = np.zeros((cap,), bool)
+        valid[:n] = True
+
+        gt_oh = np.zeros((self.num_classes,), np.float32)
+        classes = sorted({a["category_id"] for a in d.get("annotations", [])
+                          if not a.get("iscrowd", 0)})
+        if not classes:
+            return None
+        gt_oh[classes] = 1.0
+
+        bh, bw = bucket_shape(ih, iw, self.size_divisibility)
+        return {
+            "image": pad_image(img, bh, bw),
+            "valid_hw": np.array([ih, iw], np.int32),
+            "boxes": boxes,
+            "objectness": objectness,
+            "prop_valid": valid,
+            "gt_classes_oh": gt_oh,
+            "image_id": d.get("image_id"),
+        }

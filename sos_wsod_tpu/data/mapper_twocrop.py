@@ -160,7 +160,7 @@ def _repad_group(group: List[Dict], size_divisibility: int) -> List[Dict]:
     bh = max(g["image"].shape[0] for g in group)
     bw = max(g["image"].shape[1] for g in group)
     bh, bw = bucket_shape(bh, bw, size_divisibility)
-    return [_repad_to(g, bh, bw) for g in group]
+    return [_repad_to(g, {"image": (bh, bw)}) for g in group]
 
 
 def build_semisup_two_crop_loader(

@@ -100,12 +100,15 @@ class EvalHook(HookBase):
         results = self._fn()
         if results:
             flat = {}
-            for task, metrics in results.items():
+
+            def _flatten(prefix, metrics):
                 if isinstance(metrics, dict):
                     for k, v in metrics.items():
-                        flat[f"{task}/{k}"] = v
+                        _flatten(f"{prefix}/{k}" if prefix else str(k), v)
                 else:
-                    flat[task] = metrics
+                    flat[prefix] = metrics
+
+            _flatten("", results)
             self.trainer.storage.put_scalars(smoothing_hint=False, **flat)
 
     def after_step(self):

@@ -112,6 +112,8 @@ def make_stage1_train_step(
     data_axis: str = "data",
     donate: bool = True,
     scan_steps: int = 1,
+    inject_iter: bool = False,
+    inject_cpgs: bool = False,
 ) -> Callable:
     """Build the jitted SPMD train step.
 
@@ -128,11 +130,22 @@ def make_stage1_train_step(
     tight CUDA step loop.
     """
 
-    def loss_fn(params, batch, rng):
+    def loss_fn(params, batch, rng, it):
         b = jax.tree_util.tree_leaves(batch)[0].shape[0]
         keys = jax.random.split(rng, b)
 
         def per_image(img_batch, key):
+            if inject_iter or inject_cpgs:
+                img_batch = dict(img_batch, iter=it)
+            if inject_cpgs:
+                # CSC/WSJDS: class-peak-response maps from a vjp of the
+                # image-score forward (rcnn_wsl_single.compute_cpgs)
+                img_batch = dict(
+                    img_batch,
+                    cpgs=model.compute_cpgs(
+                        {"params": params}, img_batch, rngs={"dropout": key}
+                    ),
+                )
             return model.apply(
                 {"params": params}, img_batch, train=True, rngs={"dropout": key}
             )
@@ -149,7 +162,7 @@ def make_stage1_train_step(
 
     def step(state, batch, rng):
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state["params"], batch, rng
+            state["params"], batch, rng, state["iter"]
         )
         updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
         params = optax.apply_updates(state["params"], updates)
@@ -215,8 +228,12 @@ class Stage1Trainer(TrainerBase):
             tx = optax.MultiSteps(tx, every_k_schedule=iter_size)
         self.tx = tx
         self.step_stride = max(1, int(getattr(cfg.TPU, "SCAN_STEPS", 1) or 1))
+        # single-view heads with iteration-dependent losses / CPG constraints
+        head = getattr(self.model, "head", None)
         self.train_step = make_stage1_train_step(
-            self.model, tx, mesh=mesh, scan_steps=self.step_stride
+            self.model, tx, mesh=mesh, scan_steps=self.step_stride,
+            inject_iter=head in ("CMIL", "CSC", "WSJDS"),
+            inject_cpgs=head in ("CSC", "WSJDS"),
         )
         self.rng = rng if rng is not None else jax.random.PRNGKey(max(cfg.SEED, 0))
         self.state: Optional[Dict[str, Any]] = None

@@ -73,6 +73,27 @@ def build_max_table(feat: jnp.ndarray, lh: int, lw: int) -> jnp.ndarray:
     return jnp.stack(levels, axis=0)
 
 
+def build_max_table_flat(feat: jnp.ndarray, lh: int, lw: int) -> jnp.ndarray:
+    """feat (H, W, C) -> flat (lh*lw*H*W, C) doubling table.
+
+    Same contents as ``build_max_table(...).reshape(lh*lw*h*w, c)`` but built
+    by concatenating 2D row-blocks, so the materialized layout is already the
+    row-major (rows, C) form the corner gather consumes — the 6-D stack +
+    reshape variant costs ~18 ms/step in pad/copy/relayout fusions on TPU."""
+    h, w, c = feat.shape
+    rows = [feat]
+    for l in range(1, lh):
+        rows.append(_shift_max(rows[-1], 1 << (l - 1), axis=0))
+    blocks = []
+    for r in rows:
+        col = r
+        blocks.append(col.reshape(h * w, c))
+        for l in range(1, lw):
+            col = _shift_max(col, 1 << (l - 1), axis=1)
+            blocks.append(col.reshape(h * w, c))
+    return jnp.concatenate(blocks, axis=0)
+
+
 def _bin_bounds(start: jnp.ndarray, size: jnp.ndarray, pooled: int, limit: int):
     """Integer bin boundaries for one spatial dim.
 
@@ -189,8 +210,7 @@ def roi_pool(
     ph_out, pw_out = output_size
     lh = _num_levels(h // ph_out + 4)
     lw = _num_levels(w // pw_out + 4)
-    t2 = build_max_table(feat, lh, lw)  # (lh, lw, H, W, C)
-    t2_flat = t2.reshape(lh * lw * h * w, c)
+    t2_flat = build_max_table_flat(feat, lh, lw)  # (lh*lw*H*W, C)
 
     corners, empty = _bin_corner_indices(
         boxes, valid, h, w, ph_out, pw_out, lw, spatial_scale)
@@ -264,8 +284,7 @@ def _roi_pool_argmax_fwd_impl(feat, boxes, valid, spatial_scale, output_size):
     keys = _bf16_sortable16(feat) * _POS_CAPACITY + rank       # (H, W, C)
     # build the doubling table over integer keys (build_max_table's -inf
     # sentinel maps below any key after int cast)
-    t2 = build_max_table(keys, lh, lw)
-    t2_flat = t2.reshape(lh * lw * h * w, c)
+    t2_flat = build_max_table_flat(keys, lh, lw)
 
     corners, empty = _bin_corner_indices(
         boxes, valid, h, w, ph_out, pw_out, lw, spatial_scale)

@@ -10,7 +10,14 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_compilation
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.3")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# 8 virtual device threads share ONE core here: heavy per-device programs can
+# take minutes to all reach a collective, and XLA:CPU's rendezvous aborts the
+# process (SIGABRT "Termination timeout for all gather") after ~40s by default
+if "collective_call_terminate" not in flags:
+    flags += (" --xla_cpu_collective_call_warn_stuck_seconds=600"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=3600")
+os.environ["XLA_FLAGS"] = flags
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 # Belt-and-braces: if a pytest entry-point plugin imported jax before this

@@ -158,11 +158,12 @@ MODEL:
   WEIGHTS: ""
   PIXEL_MEAN: [103.530, 116.280, 123.675]
   RESNETS: {DEPTH: 14}
-  FPN: {OUT_CHANNELS: 32}
+  FPN: {OUT_CHANNELS: 32, IN_FEATURES: ["res2", "res3", "res4", "res5"]}
   PROPOSAL_GENERATOR: {NAME: "PseudoLabRPN"}
-  RPN: {POSITIVE_FRACTION: 0.25, POST_NMS_TOPK_TRAIN: 64, POST_NMS_TOPK_TEST: 64, PRE_NMS_TOPK_TRAIN: 128, PRE_NMS_TOPK_TEST: 128}
+  RPN: {IN_FEATURES: ["p2", "p3", "p4", "p5", "p6"], POSITIVE_FRACTION: 0.25, POST_NMS_TOPK_TRAIN: 64, POST_NMS_TOPK_TEST: 64, PRE_NMS_TOPK_TRAIN: 128, PRE_NMS_TOPK_TEST: 128}
   ROI_HEADS:
     NAME: "StandardROIHeadsPseudoLab"
+    IN_FEATURES: ["p2", "p3", "p4", "p5"]
     LOSS: "CrossEntropy"
     NUM_CLASSES: 20
     BATCH_SIZE_PER_IMAGE: 32
@@ -190,13 +191,13 @@ SEMISUPNET:
 DATALOADER:
   NUM_WORKERS: 0
   FILTER_EMPTY_ANNOTATIONS: False
-  SUP_PERCENT: {sup_percent}
+  SUP_PERCENT: __SUP_PERCENT__
   RANDOM_DATA_SEED: 1
-  RANDOM_DATA_SEED_PATH: "{dataseed}"
+  RANDOM_DATA_SEED_PATH: "__DATASEED__"
 TPU:
   PGT_CAPACITY: 16
   IMAGE_SIZE_DIVISIBILITY: 32
-OUTPUT_DIR: "{out_dir}"
+OUTPUT_DIR: "__OUT_DIR__"
 SEED: 1234
 """
 
@@ -204,9 +205,9 @@ SPLIT_YAML = """
 MODEL:
   META_ARCHITECTURE: "TwoStagePseudoLabGeneralizedRCNN"
   RESNETS: {DEPTH: 14}
-  FPN: {OUT_CHANNELS: 32}
-  RPN: {POST_NMS_TOPK_TRAIN: 64, POST_NMS_TOPK_TEST: 64, PRE_NMS_TOPK_TRAIN: 128, PRE_NMS_TOPK_TEST: 128}
-  ROI_HEADS: {NUM_CLASSES: 20, BATCH_SIZE_PER_IMAGE: 32}
+  FPN: {OUT_CHANNELS: 32, IN_FEATURES: ["res2", "res3", "res4", "res5"]}
+  RPN: {IN_FEATURES: ["p2", "p3", "p4", "p5", "p6"], POST_NMS_TOPK_TRAIN: 64, POST_NMS_TOPK_TEST: 64, PRE_NMS_TOPK_TRAIN: 128, PRE_NMS_TOPK_TEST: 128}
+  ROI_HEADS: {IN_FEATURES: ["p2", "p3", "p4", "p5"], NUM_CLASSES: 20, BATCH_SIZE_PER_IMAGE: 32}
   ROI_BOX_HEAD: {FC_DIM: 64}
 DATASETS:
   TRAIN: ["voc_2007_train_wsl", "voc_2007_val_wsl"]
@@ -270,9 +271,13 @@ def test_three_stage_pipeline(voc_root, monkeypatch):
     dataseed2.write_text(json.dumps(base_seed))
     percent2 = list(base_seed)[0]
 
+    def render23(sup_percent, dataseed, out_dir):
+        return (STAGE23_YAML.replace("__SUP_PERCENT__", str(sup_percent))
+                .replace("__DATASEED__", str(dataseed))
+                .replace("__OUT_DIR__", out_dir))
+
     cfg2 = voc_root / "stage2.yaml"
-    cfg2.write_text(STAGE23_YAML.format(
-        sup_percent=percent2, dataseed=dataseed2, out_dir="output/stage2"))
+    cfg2.write_text(render23(percent2, dataseed2, "output/stage2"))
     train_net_unbias.main(_args(str(cfg2), []))
     assert (voc_root / "output/stage2/model_final").exists()
 
@@ -291,9 +296,8 @@ def test_three_stage_pipeline(voc_root, monkeypatch):
 
     # ---- stage 3: semisup training past burn-in (EMA + pseudo-label steps)
     cfg3 = voc_root / "stage3.yaml"
-    cfg3.write_text(STAGE23_YAML.format(
-        sup_percent=percent3, dataseed=split_path, out_dir="output/stage3",
-    ).replace("BURN_UP_STEP: 100", "BURN_UP_STEP: 1"))
+    cfg3.write_text(render23(percent3, split_path, "output/stage3")
+                    .replace("BURN_UP_STEP: 100", "BURN_UP_STEP: 1"))
     train_net_unbias.main(_args(str(cfg3), []))
     assert (voc_root / "output/stage3/model_final").exists()
 
@@ -329,4 +333,28 @@ def test_tta_cli_smoke(voc_root, monkeypatch):
     ns3.strategy = "auto"
     ns3.ckpt = ""
     results = tta_cli.main(ns3)
+    assert np.isfinite(results["voc_2007_test"]["bbox"]["AP50"])
+
+
+@pytest.mark.slow
+def test_single_view_train_cli(voc_root, monkeypatch):
+    """Single-view WSL training path (reference train_net.py): OICR head via
+    GeneralizedRCNNWSL through the same stage-1 CLI."""
+    monkeypatch.chdir(voc_root)
+    from tools import train_net_stage1
+
+    cfg = voc_root / "stage1_single.yaml"
+    cfg.write_text(STAGE1_YAML
+                   .replace('META_ARCHITECTURE: "MultiInputRCNN"',
+                            'META_ARCHITECTURE: "GeneralizedRCNNWSL"')
+                   .replace('NAME: "OICRPlusHeads"', 'NAME: "OICRROIHeads"')
+                   .replace('OUTPUT_DIR: "output/stage1"',
+                            'OUTPUT_DIR: "output/stage1_single"'))
+    train_net_stage1.main(_args(str(cfg), []))
+    assert (voc_root / "output/stage1_single/model_final").exists()
+
+    # eval-only over the test split exercises the single-view predict path
+    results = train_net_stage1.main(_args(str(cfg), [
+        "DATASETS.TEST", "('voc_2007_test',)",
+    ], eval_only=True))
     assert np.isfinite(results["voc_2007_test"]["bbox"]["AP50"])

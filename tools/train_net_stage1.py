@@ -83,7 +83,14 @@ def main(args):
     cfg = setup(args)
     register_all_voc()
 
-    model = MultiInputRCNN.from_cfg(cfg)
+    if cfg.MODEL.META_ARCHITECTURE == "MultiInputRCNN":
+        model = MultiInputRCNN.from_cfg(cfg)
+    else:
+        # single-view WSL path (reference train_net.py): WSDDN / OICR / PCL /
+        # CMIL / ContextLocNet / CSC / WSJDS heads via GeneralizedRCNNWSL
+        from sos_wsod_tpu.models.meta.rcnn_wsl_single import GeneralizedRCNNWSL
+
+        model = GeneralizedRCNNWSL.from_cfg(cfg)
     checkpointer = Checkpointer(cfg.OUTPUT_DIR)
 
     if args.eval_only:
