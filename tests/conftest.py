@@ -15,7 +15,7 @@ if "xla_force_host_platform_device_count" not in flags:
 # take minutes to all reach a collective, and XLA:CPU's rendezvous aborts the
 # process (SIGABRT "Termination timeout for all gather") after ~40s by default
 if "collective_call_terminate" not in flags:
-    flags += (" --xla_cpu_collective_call_warn_stuck_seconds=600"
+    flags += (" --xla_cpu_collective_timeout_seconds=3600"
               " --xla_cpu_collective_call_terminate_timeout_seconds=3600")
 os.environ["XLA_FLAGS"] = flags
 os.environ.setdefault("JAX_ENABLE_X64", "0")

@@ -318,6 +318,7 @@ def test_tta_cli_smoke(voc_root, monkeypatch):
         "pipeline test must run first (same module)"
     ns = _args(str(voc_root / "stage1.yaml"), [
         "DATASETS.TEST", "('voc_2007_test',)",
+        "DATASETS.PROPOSAL_FILES_TEST", "('datasets/proposals/mcg_voc_2007_test_d2.pkl',)",
         "TEST.AUG.MIN_SIZES", "(80, 96)",
         "TEST.AUG.MAX_SIZE", "160",
     ], eval_only=True)
@@ -356,5 +357,6 @@ def test_single_view_train_cli(voc_root, monkeypatch):
     # eval-only over the test split exercises the single-view predict path
     results = train_net_stage1.main(_args(str(cfg), [
         "DATASETS.TEST", "('voc_2007_test',)",
+        "DATASETS.PROPOSAL_FILES_TEST", "('datasets/proposals/mcg_voc_2007_test_d2.pkl',)",
     ], eval_only=True))
     assert np.isfinite(results["voc_2007_test"]["bbox"]["AP50"])
