@@ -17,9 +17,14 @@ validity mask.
 """
 from __future__ import annotations
 
+import logging
+import math
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
+
+#: distinct (canvas1, canvas2) shape pairs seen — each implies one jit compile
+_SEEN_CANVAS_PAIRS: set = set()
 
 from ..core.boxes import unique_boxes_keep_mask
 from . import transforms as T
@@ -161,9 +166,22 @@ class DatasetMapperMultiInput:
         gt_oh[classes] = 1.0
 
         # each scale gets its own bucketed canvas — padding scale-2 (usually
-        # smaller) up to scale-1's canvas would waste ~40% of its conv compute
+        # smaller) up to scale-1's canvas would waste ~40% of its conv compute.
+        # The scale-2 canvas is derived from scale-1's bucket via a ratio
+        # quantized to eighths, so the distinct (canvas1, canvas2) pairs stay
+        # O(|canvas1 buckets| x few ratios) instead of the full cross product
+        # (each new pair is a fresh ~10-min TPU compile of the train step).
         bh1, bw1 = bucket_shape(shape1[0], shape1[1], self.size_divisibility)
-        bh2, bw2 = bucket_shape(shape2[0], shape2[1], self.size_divisibility)
+        ratio = max(shape2[0] / bh1, shape2[1] / bw1)
+        ratio = math.ceil(max(ratio, 1e-6) * 8) / 8
+        bh2, bw2 = bucket_shape(
+            math.ceil(bh1 * ratio), math.ceil(bw1 * ratio), self.size_divisibility)
+        pair = (bh1, bw1, bh2, bw2)
+        if pair not in _SEEN_CANVAS_PAIRS:
+            _SEEN_CANVAS_PAIRS.add(pair)
+            logging.getLogger(__name__).info(
+                "new canvas pair s1=%dx%d s2=%dx%d (%d distinct pairs so far)",
+                bh1, bw1, bh2, bw2, len(_SEEN_CANVAS_PAIRS))
         imgs_s1 = np.stack([pad_image(img1, bh1, bw1), pad_image(img1f, bh1, bw1)]).astype(np.float32)
         imgs_s2 = np.stack([pad_image(img2, bh2, bw2), pad_image(img2f, bh2, bw2)]).astype(np.float32)
 

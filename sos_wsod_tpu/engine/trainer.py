@@ -255,29 +255,69 @@ class Stage1Trainer(TrainerBase):
             self.state = replicate(self.state, self.mesh)
         return self.state
 
+    def _single_train_step(self):
+        """Lazily-built scan_steps=1 step for the misaligned tail (resume from
+        a checkpoint whose iter is not SCAN_STEPS-aligned)."""
+        if getattr(self, "_single_step_fn", None) is None:
+            head = getattr(self.model, "head", None)
+            self._single_step_fn = make_stage1_train_step(
+                self.model, self.tx, mesh=self.mesh, scan_steps=1,
+                inject_iter=head in ("CMIL", "CSC", "WSJDS"),
+                inject_cpgs=head in ("CSC", "WSJDS"),
+            )
+        return self._single_step_fn
+
     def run_step(self):
         import time
 
+        # clamp the tail: never consume batches / apply updates past max_iter
+        k = self.step_stride
+        if getattr(self, "max_iter", None) is not None:
+            k = max(1, min(k, self.max_iter - self.iter))
+        superstep = k == self.step_stride and self.step_stride > 1
+
         t0 = time.perf_counter()
         batches = []
-        for _ in range(self.step_stride):
+        for _ in range(k):
             batch = next(self.data_iter)
             if isinstance(batch, list):
                 batch = stack_batch(batch)
             batches.append(batch)
-        if self.step_stride > 1:
-            batch = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
-        else:
-            batch = batches[0]
         data_time = time.perf_counter() - t0
-        if self.state is None:
-            self.init_state(batch)
-        self.rng, key = jax.random.split(self.rng)
-        if self.mesh is not None:
-            from ..parallel.mesh import shard_batch
 
-            batch = shard_batch(batch, self.mesh)
-        self.state, metrics = self.train_step(self.state, batch, key)
+        if self.state is None:
+            self.init_state(batches[0] if not superstep else jax.tree_util
+                            .tree_map(lambda *xs: np.stack(xs), *batches))
+
+        def place(batch, spec):
+            if self.mesh is None:
+                return batch
+            # pre-place on the jitted step's in_shardings: the superbatch is
+            # (K, B, ...) — the data axis is axis 1, NOT the leading scan axis
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(self.mesh, spec)
+            return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+        from jax.sharding import PartitionSpec as P
+
+        if superstep or self.step_stride == 1:
+            batch = batches[0] if k == 1 else jax.tree_util.tree_map(
+                lambda *xs: np.stack(xs), *batches)
+            self.rng, key = jax.random.split(self.rng)
+            batch = place(batch, P(None, "data") if superstep else P("data"))
+            self.state, metrics = self.train_step(self.state, batch, key)
+        else:
+            # misaligned tail: k < SCAN_STEPS iterations left — run them as
+            # plain single steps so exactly max_iter updates are applied
+            step_fn = self._single_train_step()
+            all_metrics = []
+            for b in batches:
+                self.rng, key = jax.random.split(self.rng)
+                self.state, metrics = step_fn(self.state, place(b, P("data")), key)
+                all_metrics.append(metrics)
+            metrics = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *all_metrics)
         metrics = jax.device_get(metrics)
         # scan-K supersteps return stacked (K,) metrics — log the mean
         metrics = {k: float(np.mean(v)) for k, v in metrics.items()}

@@ -100,6 +100,12 @@ class MultiInputRCNN(nn.Module):
           valid_hw_s1 / valid_hw_s2: (2, 2) true extents inside padded canvas
           boxes: (4, P, 4) per-view proposal coords [s1, s1f, s2, s2f]
           objectness: (P,); prop_valid: (P,); gt_classes_oh: (K,)
+
+        Note: the flip views' backbone features CANNOT be derived by mirroring
+        the identity views' (cross-correlation does not commute with
+        reflection for asymmetric kernels — that is the point of flip
+        augmentation), so all 4 views run conv + pool, like the reference
+        (rcnn_multi.py:179-184).
         """
         boxes = batch["boxes"]
         pv = batch["prop_valid"]

@@ -116,9 +116,9 @@ def _floor_log2(n: jnp.ndarray) -> jnp.ndarray:
     return (31 - jax.lax.clz(n.astype(jnp.int32))).astype(jnp.int32)
 
 
-def _bin_corner_indices(boxes, valid, h, w, ph_out, pw_out, lw, spatial_scale):
-    """Shared ROI->bin->4-corner-table-index computation. Returns
-    (corners [4 x (P, PH, PW) flat table idx], empty (P, PH, PW))."""
+def _bin_windows(boxes, valid, h, w, ph_out, pw_out, spatial_scale):
+    """ROI -> per-bin window bounds. Returns (hs, he) (P, PH) and (ws, we)
+    (P, PW), half-open, clipped to the feature extent."""
     # integer roi extents (round half up, torchvision `round`)
     boxes = jnp.where(valid[:, None], boxes, 0.0)  # guard padded-slot garbage
     scaled = boxes.astype(jnp.float32) * spatial_scale
@@ -136,7 +136,11 @@ def _bin_corner_indices(boxes, valid, h, w, ph_out, pw_out, lw, spatial_scale):
 
     hs, he = _bin_bounds(rs_h, roi_h, ph_out, h)  # (P, PH)
     ws, we = _bin_bounds(rs_w, roi_w, pw_out, w)  # (P, PW)
+    return hs, he, ws, we
 
+
+def _corners_from_windows(hs, he, ws, we, h, w, lw):
+    """Window bounds -> 4 flat doubling-table corner indices + empty mask."""
     nh = he - hs  # (P, PH)
     nw = we - ws
     empty = (nh[:, :, None] <= 0) | (nw[:, None, :] <= 0)  # (P, PH, PW)
@@ -158,6 +162,14 @@ def _bin_corner_indices(boxes, valid, h, w, ph_out, pw_out, lw, spatial_scale):
         flat_idx(kh, kw, h2, w2),
     ]
     return corners, empty
+
+
+def _bin_corner_indices(boxes, valid, h, w, ph_out, pw_out, lw, spatial_scale):
+    """Shared ROI->bin->4-corner-table-index computation. Returns
+    (corners [4 x (P, PH, PW) flat table idx], empty (P, PH, PW))."""
+    hs, he, ws, we = _bin_windows(boxes, valid, h, w, ph_out, pw_out,
+                                  spatial_scale)
+    return _corners_from_windows(hs, he, ws, we, h, w, lw)
 
 
 @partial(jax.jit, static_argnames=("output_size", "spatial_scale", "chunk",

@@ -1,6 +1,6 @@
 """Profile the stage-1 train step on the real TPU and print a per-op breakdown.
 
-Usage: python tools/profile_stage1.py [--views N] [--batch N]
+Usage: python tools/profile_stage1.py [--batch N] [--iters N] [--trace-dir D]
 
 Captures a jax.profiler trace of a few steps and aggregates device-side op
 durations (the only trustworthy timing through the axon tunnel — see
