@@ -302,6 +302,10 @@ def get_default_cfg() -> CN:
     _C.TPU.PARAM_DTYPE = "float32"
     _C.TPU.MESH_AXES = ("data",)         # data-parallel over ICI by default
     _C.TPU.REMAT_BACKBONE = False        # jax.checkpoint over backbone stages
+    # ROIPool implementation: "auto" = fused Pallas kernel on TPU when the
+    # shape qualifies (ops/pallas/roi_pool_fused.py), else the XLA doubling
+    # table; "table" / "pallas" force one path
+    _C.TPU.POOL_IMPL = "auto"
     # optimizer steps executed per dispatch (lax.scan superstep) — amortizes
     # the per-execute host/tunnel overhead; periods (checkpoint/eval/writer)
     # should be multiples of this

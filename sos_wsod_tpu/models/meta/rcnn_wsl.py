@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from ...ops.roi_align import roi_align
 from ...ops.roi_pool import roi_pool
+from ...ops.pallas.roi_pool_fused import roi_pool_fused, roi_pool_fused_supported
 from ..backbones.vgg import VGG16
 from ..heads.oicr_plus import OICRPlusHead
 from ..postprocess import fast_rcnn_inference_single
@@ -34,6 +35,7 @@ class MultiInputRCNN(nn.Module):
     freeze_at: int = 2
     pooler_type: str = "ROIPool"
     pooler_resolution: int = 7
+    pool_impl: str = "auto"  # TPU.POOL_IMPL: auto | table | pallas
     refine_k: int = 4
     refine_reg: Sequence[bool] = (True, True, True, True)
     refine_mist: bool = True
@@ -81,8 +83,19 @@ class MultiInputRCNN(nn.Module):
         scale = 1.0 / self.stride
         res = (self.pooler_resolution, self.pooler_resolution)
         if self.pooler_type == "ROIPool":
-            # fast path: channels-last output + objectness weighting fused
-            # into the pool epilogue (see ops/roi_pool.py)
+            h, w, c = feat.shape
+            use_fused = self.pool_impl == "pallas" or (
+                self.pool_impl == "auto"
+                and jax.default_backend() == "tpu"
+                and roi_pool_fused_supported(h, w, c, feat.dtype)
+            )
+            if use_fused:
+                # fused Pallas kernel: VMEM-resident key table, exact
+                # first-scan-hit argmax backward, objectness epilogue fused
+                return roi_pool_fused(feat, boxes, valid, row_scale,
+                                      scale, res)
+            # XLA doubling-table path: channels-last output + objectness
+            # weighting fused into the pool epilogue (see ops/roi_pool.py)
             return roi_pool(feat, boxes, valid, row_scale,
                             spatial_scale=scale, output_size=res,
                             channels_last=True)
@@ -161,6 +174,7 @@ class MultiInputRCNN(nn.Module):
             freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
             pooler_type=cfg.MODEL.ROI_BOX_HEAD.POOLER_TYPE,
             pooler_resolution=cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
+            pool_impl=getattr(cfg.TPU, "POOL_IMPL", "auto"),
             refine_k=cfg.WSL.REFINE_NUM,
             refine_reg=tuple(cfg.WSL.REFINE_REG),
             refine_mist=cfg.WSL.REFINE_MIST,
