@@ -84,11 +84,13 @@ class MultiInputRCNN(nn.Module):
         res = (self.pooler_resolution, self.pooler_resolution)
         if self.pooler_type == "ROIPool":
             h, w, c = feat.shape
-            use_fused = self.pool_impl == "pallas" or (
-                self.pool_impl == "auto"
-                and jax.default_backend() == "tpu"
-                and roi_pool_fused_supported(h, w, c, feat.dtype)
-            )
+            # "auto" resolves to the XLA table path for now: the fused
+            # kernel's per-(roi, ph) grid pays a ~1.5 us/step pipeline tax
+            # that makes it slower than the gather-bound table formulation
+            # at production P=4096 (measured r3; see BASELINE.md). Flip auto
+            # back once the blocked-ROI kernel beats the table on-chip.
+            use_fused = (self.pool_impl == "pallas"
+                         and roi_pool_fused_supported(h, w, c, feat.dtype))
             if use_fused:
                 # fused Pallas kernel: VMEM-resident key table, exact
                 # first-scan-hit argmax backward, objectness epilogue fused

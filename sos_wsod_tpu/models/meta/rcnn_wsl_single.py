@@ -19,6 +19,7 @@ import jax
 from ...ops.roi_align import roi_align
 from ...ops.roi_loop_pool import roi_loop_pool
 from ...ops.roi_pool import roi_pool
+from ...ops.pallas.roi_pool_fused import roi_pool_fused, roi_pool_fused_supported
 from ..backbones.vgg import VGG16
 from ..heads.cmil import CMILROIHead
 from ..heads.contextlocnet import ContextLocNetROIHead
@@ -52,6 +53,7 @@ class GeneralizedRCNNWSL(nn.Module):
     conv5_dilation: int = 2
     freeze_at: int = 2
     pooler_type: str = "ROIPool"
+    pool_impl: str = "auto"  # TPU.POOL_IMPL: auto | table | pallas
     pooler_resolution: int = 7
     refine_k: int = 3
     refine_reg: Sequence[bool] = (False, False, False)
@@ -124,6 +126,15 @@ class GeneralizedRCNNWSL(nn.Module):
         scale = 1.0 / self.stride
         res = (self.pooler_resolution, self.pooler_resolution)
         if self.pooler_type == "ROIPool":
+            h, w, c = feat.shape
+            if (self.pool_impl == "pallas"
+                    and roi_pool_fused_supported(h, w, c, feat.dtype)):
+                # fused Pallas kernel (channels-last) -> d2 NCHW layout the
+                # single-view heads consume (explicit opt-in via
+                # TPU.POOL_IMPL=pallas; see rcnn_wsl.py for why auto does
+                # not select it yet)
+                pooled = roi_pool_fused(feat, boxes, valid, None, scale, res)
+                return jnp.transpose(pooled, (0, 3, 1, 2))
             return roi_pool(feat, boxes, valid, spatial_scale=scale, output_size=res)
         if self.pooler_type == "ROILoopPool":
             return roi_loop_pool(feat, boxes, valid, spatial_scale=scale, output_size=res)
@@ -236,6 +247,7 @@ class GeneralizedRCNNWSL(nn.Module):
             conv5_dilation=cfg.MODEL.VGG.CONV5_DILATION,
             freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
             pooler_type=cfg.MODEL.ROI_BOX_HEAD.POOLER_TYPE,
+            pool_impl=getattr(cfg.TPU, "POOL_IMPL", "auto"),
             pooler_resolution=cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
             refine_k=cfg.WSL.REFINE_NUM,
             refine_reg=tuple(cfg.WSL.REFINE_REG),

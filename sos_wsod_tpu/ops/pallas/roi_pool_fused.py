@@ -59,6 +59,8 @@ _POS_CAP = 1 << 15          # flat positions must fit in 15 bits
 _INT_MIN = jnp.iinfo(jnp.int32).min
 _NARROW_W = 32              # x-slice width for the narrow-ROI fast path
 _NARROW_LEVELS = 3          # covers bin widths nw <= 8 (ceil(32/7)+1 = 6)
+_CB = 128                   # channel chunk: Mosaic requires lane-dim blocks
+                            # divisible by 128 (or equal to the full C)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -66,46 +68,54 @@ def _round_up(x: int, m: int) -> int:
 
 
 def roi_pool_fused_supported(h: int, w: int, c: int, dtype,
-                             cb: int = 64, vmem_budget: int = 13 << 20) -> bool:
-    """Static feasibility check for the fused kernel at shape (h, w, c)."""
+                             vmem_budget: int = 13 << 20) -> bool:
+    """Static feasibility check for the fused kernel at shape (h, w, c).
+
+    The 2-level key table chunk (2*H, W, 128) int32 must fit VMEM next to
+    the scratch buffers, positions must fit in 15 bits beside the 16-bit
+    value in an int32 key, and channel chunks must be Mosaic-tileable."""
     if dtype != jnp.bfloat16:
         return False
-    if h * w > _POS_CAP or w < _NARROW_W or c % cb != 0:
+    if h * w > _POS_CAP or w < _NARROW_W:
         return False
-    lh = _num_levels(h // 7 + 4)
-    table_bytes = lh * h * _round_up(w, 8) * cb * 4
+    if c % _CB != 0 and c > _CB:
+        return False
+    table_bytes = 2 * h * w * min(c, _CB) * 4
     return table_bytes <= vmem_budget
 
 
-def _build_vertical_key_table(feat: jnp.ndarray, lh: int) -> jnp.ndarray:
-    """bf16 (H, W, C) -> int32 (lh*H, W, C) vertical doubling table over
-    sortable keys. Row block l answers max over y..y+2^l."""
+def _build_vertical_key_table(feat: jnp.ndarray) -> jnp.ndarray:
+    """bf16 (H, W, C) -> int32 (2*H, W, C): level-0 sortable keys stacked on
+    the level-1 (2-row max) table. Taller windows are covered inside the
+    kernel by a short loop over level-1 rows (<= ceil(nh/2) reads), which
+    keeps the VMEM-resident table at 2 levels regardless of H."""
     h, w, c = feat.shape
     rank = (h * w - 1) - jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)[:, :, None]
     keys = _bf16_sortable16(feat) * _POS_CAP + rank
-    rows = [keys]
-    for l in range(1, lh):
-        rows.append(_shift_max(rows[-1], 1 << (l - 1), axis=0))
-    return jnp.concatenate(rows, axis=0)
+    return jnp.concatenate([keys, _shift_max(keys, 1, axis=0)], axis=0)
 
 
-def _pack_winfo(boxes, valid, h, w, ws_pad, ph_out, pw_out, spatial_scale):
+def _pack_winfo(boxes, valid, h, w, ph_out, pw_out, spatial_scale):
     """Per-(roi, ph) int32 records consumed by the kernel.
 
-    Layout (32 ints): [0]=h1 row (level-premultiplied), [1]=h2 row,
-    [2]=narrow x-slice start, [3]=wide flag, [4:11]=w1 local, [11:18]=w2
-    local, [18:25]=kw level, [25:32]=empty flag per pw bin.
+    Layout (64 ints): [0]=vertical init row into the (2H, W, C) table
+    (level-0 hs for 1-high windows, level-1 he-2 otherwise), [1]=number of
+    extra level-1 reads at hs+2i, [2]=hs, [3]=narrow x-slice start, [4]=wide
+    flag, [5:12]=w1 local, [12:19]=w2 local, [19:26]=kw level, [26:33]=empty
+    flag per pw bin, rest zero-padded (lane-dim 64 keeps the block Mosaic-
+    tileable).
     """
     p = boxes.shape[0]
     hs, he, ws, we = _bin_windows(boxes, valid, h, w, ph_out, pw_out,
                                   spatial_scale)
-    nh = he - hs
-    kh = _floor_log2(nh)
-    h1 = hs
-    h2 = jnp.maximum(he - (1 << kh), 0)
-    h_row1 = kh * h + h1                       # (P, PH)
-    h_row2 = kh * h + h2
+    nh = he - hs                               # (P, PH)
     empty_h = nh <= 0
+    # vertical cover of [hs, he): level-1 blocks at hs+2i (i < nh//2) plus a
+    # level-1 patch at he-2; 1-high windows read level-0 at hs
+    row0 = jnp.where(nh == 1, hs, h + he - 2)
+    row0 = jnp.clip(row0, 0, 2 * h - 1)
+    vtrip = jnp.where(nh <= 1, 0, nh // 2)
+    hs_c = jnp.clip(hs, 0, h - 1)
 
     nw = we - ws                               # (P, PW)
     kw = _floor_log2(nw)
@@ -113,25 +123,27 @@ def _pack_winfo(boxes, valid, h, w, ws_pad, ph_out, pw_out, spatial_scale):
     w2 = jnp.maximum(we - (1 << kw), 0)
     empty_w = nw <= 0
 
-    ws0 = jnp.clip(ws[:, 0], 0, max(ws_pad - _NARROW_W, 0))        # (P,)
+    ws0 = jnp.clip(ws[:, 0], 0, max(w - _NARROW_W, 0))             # (P,)
     span = we[:, pw_out - 1] - ws0
     wide = (span > _NARROW_W).astype(jnp.int32)                    # (P,)
     base = jnp.where(wide == 1, 0, ws0)                            # (P,)
-    w1l = w1 - base[:, None]
-    w2l = w2 - base[:, None]
+    w1l = jnp.clip(w1 - base[:, None], 0, w - 1)
+    w2l = jnp.clip(w2 - base[:, None], 0, w - 1)
 
     empty = (empty_h[:, :, None] | empty_w[:, None, :]
              | ~valid[:, None, None]).astype(jnp.int32)            # (P,PH,PW)
 
     rec = jnp.concatenate([
-        h_row1[:, :, None],                                        # 0
-        h_row2[:, :, None],                                        # 1
-        jnp.broadcast_to(base[:, None, None], (p, ph_out, 1)),     # 2
-        jnp.broadcast_to(wide[:, None, None], (p, ph_out, 1)),     # 3
-        jnp.broadcast_to(w1l[:, None, :], (p, ph_out, pw_out)),    # 4:11
-        jnp.broadcast_to(w2l[:, None, :], (p, ph_out, pw_out)),    # 11:18
-        jnp.broadcast_to(kw[:, None, :], (p, ph_out, pw_out)),     # 18:25
-        empty,                                                     # 25:32
+        row0[:, :, None],                                          # 0
+        vtrip[:, :, None],                                         # 1
+        hs_c[:, :, None],                                          # 2
+        jnp.broadcast_to(base[:, None, None], (p, ph_out, 1)),     # 3
+        jnp.broadcast_to(wide[:, None, None], (p, ph_out, 1)),     # 4
+        jnp.broadcast_to(w1l[:, None, :], (p, ph_out, pw_out)),    # 5:12
+        jnp.broadcast_to(w2l[:, None, :], (p, ph_out, pw_out)),    # 12:19
+        jnp.broadcast_to(kw[:, None, :], (p, ph_out, pw_out)),     # 19:26
+        empty,                                                     # 26:33
+        jnp.zeros((p, ph_out, 64 - 33), jnp.int32),
     ], axis=2).astype(jnp.int32)
     return rec
 
@@ -147,17 +159,25 @@ def _decode_write(key, emp, scale, h, w, pw, out_ref, pos_ref):
     pos_ref[0, 0, pw, :] = jnp.where(live, pos, -1)[0]
 
 
-def _make_kernel(h: int, w: int, ws_pad: int, lw_wide: int, pw_out: int):
+def _make_kernel(h: int, w: int, lw_wide: int, pw_out: int):
     def kernel(tv_ref, winfo_ref, rs_ref, out_ref, pos_ref, hl_ref):
-        h1r = winfo_ref[0, 0, 0]
-        h2r = winfo_ref[0, 0, 1]
-        base = winfo_ref[0, 0, 2]
-        wide = winfo_ref[0, 0, 3]
-        scale = rs_ref[0, 0].astype(jnp.bfloat16)
+        ph = pl.program_id(2)
+        row0 = winfo_ref[0, ph, 0]
+        vtrip = winfo_ref[0, ph, 1]
+        hs = winfo_ref[0, ph, 2]
+        base = winfo_ref[0, ph, 3]
+        wide = winfo_ref[0, ph, 4]
+        scale = rs_ref[0, 0, 0].astype(jnp.bfloat16)
 
         def build(width, levels):
-            v = jnp.maximum(tv_ref[h1r, pl.ds(base, width), :],
-                            tv_ref[h2r, pl.ds(base, width), :])
+            # vertical cover: level-1 patch at he-2 (or level-0 row for
+            # 1-high windows), then level-1 blocks at hs, hs+2, ...
+            def vbody(i, v):
+                r = jnp.clip(h + hs + 2 * i, 0, 2 * h - 1)
+                return jnp.maximum(v, tv_ref[r, pl.ds(base, width), :])
+
+            v = jax.lax.fori_loop(
+                0, vtrip, vbody, tv_ref[row0, pl.ds(base, width), :])
             hl_ref[0, pl.ds(0, width), :] = v
             for l in range(1, levels):
                 d = 1 << (l - 1)
@@ -177,13 +197,13 @@ def _make_kernel(h: int, w: int, ws_pad: int, lw_wide: int, pw_out: int):
 
         @pl.when(wide != 0)
         def _():
-            build(ws_pad, lw_wide)
+            build(w, lw_wide)
 
         for pw in range(pw_out):
-            k = winfo_ref[0, 0, 18 + pw]
-            w1 = winfo_ref[0, 0, 4 + pw]
-            w2 = winfo_ref[0, 0, 11 + pw]
-            emp = winfo_ref[0, 0, 25 + pw]
+            k = winfo_ref[0, ph, 19 + pw]
+            w1 = winfo_ref[0, ph, 5 + pw]
+            w2 = winfo_ref[0, ph, 12 + pw]
+            emp = winfo_ref[0, ph, 26 + pw]
             a = hl_ref[k, pl.ds(w1, 1), :]
             b = hl_ref[k, pl.ds(w2, 1), :]
             _decode_write(jnp.maximum(a, b), emp, scale, h, w, pw,
@@ -192,47 +212,40 @@ def _make_kernel(h: int, w: int, ws_pad: int, lw_wide: int, pw_out: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("spatial_scale", "output_size", "cb",
+@partial(jax.jit, static_argnames=("spatial_scale", "output_size",
                                    "interpret"))
 def _roi_pool_fused_fwd_impl(feat, boxes, valid, row_scale, *,
                              spatial_scale: float,
                              output_size: Tuple[int, int],
-                             cb: int = 64,
                              interpret: bool = False):
     h, w, c = feat.shape
     ph_out, pw_out = output_size
     assert h * w <= _POS_CAP, f"H*W={h*w} exceeds key position capacity"
-    if c % cb != 0:
-        assert c <= 128, f"C={c} not divisible by chunk {cb}"
-        cb = c  # small channel counts (tests): single chunk
+    # lane-dim blocks must be divisible by 128 or equal to the full C
+    cb = _CB if c % _CB == 0 else c
     p = boxes.shape[0]
-    lh = _num_levels(h // ph_out + 4)
     lw_wide = _num_levels(w // pw_out + 4)
-    ws_pad = _round_up(w, 8)
 
-    tv = _build_vertical_key_table(feat, lh)            # (lh*H, W, C)
-    if ws_pad != w:
-        tv = jnp.pad(tv, ((0, 0), (0, ws_pad - w), (0, 0)),
-                     constant_values=_INT_MIN)
-    winfo = _pack_winfo(boxes, valid, h, w, ws_pad, ph_out, pw_out,
-                        spatial_scale)
+    tv = _build_vertical_key_table(feat)                # (2*H, W, C)
+    winfo = _pack_winfo(boxes, valid, h, w, ph_out, pw_out, spatial_scale)
     if row_scale is None:
-        rs = jnp.ones((p, 1), jnp.float32)
+        rs = jnp.ones((p, 1, 128), jnp.float32)
     else:
-        rs = row_scale.reshape(p, 1).astype(jnp.float32)
+        rs = jnp.broadcast_to(
+            row_scale.astype(jnp.float32)[:, None, None], (p, 1, 128))
 
     cc = c // cb
-    hl_rows = max(ws_pad, _NARROW_W)
+    hl_rows = _round_up(max(w, _NARROW_W), 8)
     grid = (cc, p, ph_out)
     out, pos = pl.pallas_call(
-        _make_kernel(h, w, ws_pad, lw_wide, pw_out),
+        _make_kernel(h, w, lw_wide, pw_out),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((lh * h, ws_pad, cb), lambda cc, p, ph: (0, 0, cc),
+            pl.BlockSpec((2 * h, w, cb), lambda cc, p, ph: (0, 0, cc),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 32), lambda cc, p, ph: (p, ph, 0),
+            pl.BlockSpec((1, ph_out, 64), lambda cc, p, ph: (p, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda cc, p, ph: (p, 0),
+            pl.BlockSpec((1, 1, 128), lambda cc, p, ph: (p, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -249,6 +262,12 @@ def _roi_pool_fused_fwd_impl(feat, boxes, valid, row_scale, *,
             pltpu.VMEM((max(lw_wide, _NARROW_LEVELS), hl_rows, cb),
                        jnp.int32),
         ],
+        # the table block is revisited (constant index map) but the pipeline
+        # still provisions double buffers; raise the scoped-vmem cap so the
+        # 2 x 11.3MB table chunk fits (v5e has headroom above the 16MB
+        # default scoped limit)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(tv, winfo, rs)
     return out, pos

@@ -116,7 +116,8 @@ def test_fused_ties_route_to_first_scan_hit():
 
 def test_supported_predicate():
     assert roi_pool_fused_supported(86, 128, 512, jnp.bfloat16)
+    assert roi_pool_fused_supported(40, 64, 100, jnp.bfloat16)        # 1 chunk
     assert not roi_pool_fused_supported(86, 128, 512, jnp.float32)
     assert not roi_pool_fused_supported(200, 256, 512, jnp.bfloat16)  # >2^15
     assert not roi_pool_fused_supported(40, 24, 512, jnp.bfloat16)    # W<32
-    assert not roi_pool_fused_supported(40, 64, 100, jnp.bfloat16)    # C%64
+    assert not roi_pool_fused_supported(40, 64, 200, jnp.bfloat16)    # C%128
