@@ -293,6 +293,13 @@ def get_default_cfg() -> CN:
     # fixed capacities where the reference used dynamic tensors (SURVEY.md §7).
     _C.TPU = CN()
     _C.TPU.PROPOSAL_CAPACITY = 4096      # padded proposal slots per image
+    # Optional ascending proposal-capacity buckets, e.g. (1024, 2048, 4096).
+    # Each image pads to the smallest bucket holding its real proposal count
+    # instead of always paying PROPOSAL_CAPACITY: ROI pool + box-head cost is
+    # linear in P, and the reference's dynamic shapes only ever pay the true
+    # count (topk cap 4000, Base-RCNN-DilatedC5.yaml:5). One jit entry per
+    # bucket. Empty = single static capacity.
+    _C.TPU.PROPOSAL_BUCKETS = ()
     _C.TPU.PGT_SEED_CAPACITY = 1024      # MIST seed candidates kept before NMS
     _C.TPU.PGT_CAPACITY = 128            # pseudo-GT slots after NMS
     _C.TPU.DETECTIONS_CAPACITY = 256     # padded per-image detection slots pre-topk
@@ -301,6 +308,11 @@ def get_default_cfg() -> CN:
     _C.TPU.COMPUTE_DTYPE = "bfloat16"    # matmul/conv compute dtype
     _C.TPU.PARAM_DTYPE = "float32"
     _C.TPU.MESH_AXES = ("data",)         # data-parallel over ICI by default
+    # 0 = mesh over all visible devices; N>0 = first N only (1 = no mesh).
+    # Tests pin 1: on a 1-core host, 8 virtual CPU devices spin-contend in
+    # every collective and a tiny ubteacher step grinds for minutes; the
+    # SPMD path has its own dedicated mesh tests (test_engine.py).
+    _C.TPU.MESH_DEVICES = 0
     _C.TPU.REMAT_BACKBONE = False        # jax.checkpoint over backbone stages
     # ROIPool implementation: "auto" = fused Pallas kernel on TPU when the
     # shape qualifies (ops/pallas/roi_pool_fused.py), else the XLA doubling

@@ -108,12 +108,15 @@ def batched_stream(
                 if s is not None:
                     yield s
 
-    buckets: Dict[int, List[Dict[str, np.ndarray]]] = {0: [], 1: []}
+    buckets: Dict[tuple, List[Dict[str, np.ndarray]]] = {}
     for s in mapped():
         img = s.get("images_s1", s.get("image"))
         h, w = (img.shape[1], img.shape[2]) if img.ndim == 4 else img.shape[:2]
-        b = int(h > w) if aspect_ratio_grouping else 0
-        buckets[b].append(s)
+        # group by aspect AND proposal bucket: with TPU.PROPOSAL_BUCKETS the
+        # proposal axis varies per image, and a batch must be stackable
+        pcap = s["prop_valid"].shape[-1] if "prop_valid" in s else 0
+        b = (int(h > w) if aspect_ratio_grouping else 0, pcap)
+        buckets.setdefault(b, []).append(s)
         if len(buckets[b]) == batch_size:
             group = buckets[b]
             buckets[b] = []
@@ -155,6 +158,7 @@ def build_stage1_train_loader(cfg, mapper=None, batch_size: Optional[int] = None
             random_flip=cfg.INPUT.RANDOM_FLIP != "none",
             proposal_topk=cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TRAIN,
             proposal_capacity=cfg.TPU.PROPOSAL_CAPACITY,
+            proposal_buckets=tuple(getattr(cfg.TPU, "PROPOSAL_BUCKETS", ()) or ()),
             num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
             size_divisibility=cfg.TPU.IMAGE_SIZE_DIVISIBILITY,
             seed=max(cfg.SEED, 0),
@@ -168,6 +172,7 @@ def build_stage1_train_loader(cfg, mapper=None, batch_size: Optional[int] = None
             crop_size=cfg.INPUT.CROP.SIZE,
             proposal_topk=cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TRAIN,
             proposal_capacity=cfg.TPU.PROPOSAL_CAPACITY,
+            proposal_buckets=tuple(getattr(cfg.TPU, "PROPOSAL_BUCKETS", ()) or ()),
             num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
             size_divisibility=cfg.TPU.IMAGE_SIZE_DIVISIBILITY,
             seed=max(cfg.SEED, 0),
@@ -194,12 +199,14 @@ class DatasetMapperTest:
         max_size_test: int,
         proposal_topk: int = 1000,
         proposal_capacity: int = 4096,
+        proposal_buckets: Sequence[int] = (),
         size_divisibility: int = 64,
     ):
         self.min_size_test = min_size_test
         self.max_size_test = max_size_test
         self.proposal_topk = proposal_topk
         self.capacity = proposal_capacity
+        self.proposal_buckets = tuple(sorted(int(b) for b in proposal_buckets))
         self.size_divisibility = size_divisibility
 
     def __call__(self, d: dict) -> Dict[str, np.ndarray]:
@@ -216,16 +223,13 @@ class DatasetMapperTest:
         bh, bw = bucket_shape(ih, iw, self.size_divisibility)
 
         cap = self.capacity
-        out_boxes = np.zeros((cap, 4), np.float32)
-        objectness = np.zeros((cap,), np.float32)
-        valid = np.zeros((cap,), bool)
         if "proposal_boxes" in d:
             # Mirror detection_utils.transform_proposals: transform ALL
             # proposals, clip, filter nonempty (and dedup like the train
             # mapper), THEN take topk — truncating first would let
             # degenerate/duplicate boxes crowd out valid ones.
             from ..core.boxes import unique_boxes_keep_mask
-            from .mapper_multi import _nonempty_np
+            from .mapper_multi import DatasetMapperMultiInput, _nonempty_np
 
             raw = np.asarray(d["proposal_boxes"], np.float32)
             logits = np.asarray(d["proposal_objectness_logits"], np.float32)[: raw.shape[0]]
@@ -234,10 +238,19 @@ class DatasetMapperTest:
             keep = unique_boxes_keep_mask(b) & _nonempty_np(b)
             b = b[keep][: self.proposal_topk]
             logits = logits[keep][: self.proposal_topk]
+            cap = DatasetMapperMultiInput.pick_capacity(
+                b.shape[0], self.proposal_buckets, self.capacity)
             n = min(b.shape[0], cap)
+            out_boxes = np.zeros((cap, 4), np.float32)
+            objectness = np.zeros((cap,), np.float32)
+            valid = np.zeros((cap,), bool)
             out_boxes[:n] = b[:n]
             objectness[:n] = logits[:n]
             valid[:n] = True
+        else:
+            out_boxes = np.zeros((cap, 4), np.float32)
+            objectness = np.zeros((cap,), np.float32)
+            valid = np.zeros((cap,), bool)
         return {
             "image": pad_image(img.astype(np.float32), bh, bw),
             "valid_hw": np.array([ih, iw], np.int32),
@@ -269,6 +282,7 @@ def build_stage1_test_loader(cfg, dataset_name: str, mapper=None):
             max_size_test=cfg.INPUT.MAX_SIZE_TEST,
             proposal_topk=cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TEST,
             proposal_capacity=cfg.TPU.PROPOSAL_CAPACITY,
+            proposal_buckets=tuple(getattr(cfg.TPU, "PROPOSAL_BUCKETS", ()) or ()),
             size_divisibility=cfg.TPU.IMAGE_SIZE_DIVISIBILITY,
         )
     for d in dataset_dicts:

@@ -68,6 +68,7 @@ class DatasetMapperMultiInput:
         crop_size: Sequence[float] = (0.9, 0.9),
         proposal_topk: int = 4000,
         proposal_capacity: int = 4096,
+        proposal_buckets: Sequence[int] = (),
         num_classes: int = 20,
         size_divisibility: int = 64,
         seed: int = 1234,
@@ -79,9 +80,28 @@ class DatasetMapperMultiInput:
         self.crop_size = list(crop_size)
         self.proposal_topk = proposal_topk
         self.capacity = proposal_capacity
+        self.proposal_buckets = tuple(sorted(int(b) for b in proposal_buckets))
         self.num_classes = num_classes
         self.size_divisibility = size_divisibility
         self.rng = np.random.RandomState(seed)
+
+    @staticmethod
+    def pick_capacity(n: int, buckets, capacity: int) -> int:
+        """Smallest configured proposal bucket holding ``n`` proposals.
+
+        TPU-native variable-P handling: the reference processes each image's
+        actual selective-search proposal count dynamically (capped by
+        DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TRAIN=4000,
+        Base-RCNN-DilatedC5.yaml:5); static shapes force us to pad, and
+        padding every image to the worst case makes pool + box-head cost
+        worst-case for every image. With TPU.PROPOSAL_BUCKETS set (e.g.
+        (1024, 2048, 4096)) each image pays for the smallest bucket that
+        holds its real proposals; each bucket is one extra jit entry."""
+        caps = tuple(buckets) or (capacity,)
+        for b in caps:
+            if n <= b:
+                return b
+        return caps[-1]
 
     def _scale1(self, h, w):
         return T.resize_shortest_edge(h, w, self.min_size_train, self.max_size_train, self.rng)
@@ -146,9 +166,9 @@ class DatasetMapperMultiInput:
         n_kept = int(keep.sum())
         if n_kept == 0:
             return None  # skipped batch, like the trainer's empty-instances skip
-        n = min(n_kept, self.capacity)
+        cap = self.pick_capacity(n_kept, self.proposal_buckets, self.capacity)
+        n = min(n_kept, cap)
 
-        cap = self.capacity
         out_boxes = np.zeros((4, cap, 4), np.float32)
         for v in range(4):
             out_boxes[v, :n] = boxes_v[v][keep][:n]
@@ -216,6 +236,7 @@ class DatasetMapperSingle:
         random_flip: bool = True,
         proposal_topk: int = 4000,
         proposal_capacity: int = 4096,
+        proposal_buckets: Sequence[int] = (),
         num_classes: int = 20,
         size_divisibility: int = 64,
         seed: int = 1234,
@@ -228,6 +249,7 @@ class DatasetMapperSingle:
         self.random_flip = random_flip
         self.proposal_topk = proposal_topk
         self.capacity = proposal_capacity
+        self.proposal_buckets = tuple(sorted(int(b) for b in proposal_buckets))
         self.num_classes = num_classes
         self.size_divisibility = size_divisibility
         self.rng = np.random.RandomState(seed)
@@ -263,9 +285,10 @@ class DatasetMapperSingle:
         n_kept = int(keep.sum())
         if n_kept == 0:
             return None
-        n = min(n_kept, self.capacity)
+        cap = DatasetMapperMultiInput.pick_capacity(
+            n_kept, self.proposal_buckets, self.capacity)
+        n = min(n_kept, cap)
 
-        cap = self.capacity
         boxes = np.zeros((cap, 4), np.float32)
         boxes[:n] = b[keep][:n]
         objectness = np.zeros((cap,), np.float32)

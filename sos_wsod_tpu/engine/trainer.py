@@ -123,11 +123,12 @@ def make_stage1_train_step(
 
     scan_steps > 1 runs K optimizer steps per dispatch via ``lax.scan`` over a
     (K, B, ...) superbatch (metrics come back stacked, (K, ...)). One dispatch
-    per K steps amortizes the per-execute host/tunnel overhead that otherwise
-    dominates on remote-attached TPUs: the device is busy ~60 ms/step while a
-    single-step dispatch costs ~380 ms wall. The reference has no analog — its
-    GPU runtime is dispatch-cheap; this is the TPU-native replacement for the
-    tight CUDA step loop.
+    per K steps amortizes per-execute host/tunnel overhead on remote-attached
+    TPUs. (Measured r3 at production shapes the step is DEVICE-bound — ~349 ms
+    device vs ~355 ms wall, see tools/profile_stage1.py — so supersteps buy
+    little there; they matter for small/fast step programs.) The reference has
+    no analog — its GPU runtime is dispatch-cheap; this is the TPU-native
+    replacement for the tight CUDA step loop.
     """
 
     def loss_fn(params, batch, rng, it):

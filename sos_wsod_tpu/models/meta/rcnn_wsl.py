@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.roi_align import roi_align
-from ...ops.roi_pool import roi_pool
+from ...ops.roi_pool import roi_pool, roi_pool_multi
 from ...ops.pallas.roi_pool_fused import roi_pool_fused, roi_pool_fused_supported
 from ..backbones.vgg import VGG16
 from ..heads.oicr_plus import OICRPlusHead
@@ -129,14 +129,20 @@ class MultiInputRCNN(nn.Module):
             obn = (batch["objectness"] + 1.0).astype(self.dtype)
         f1 = self.backbone(self._normalize(batch["images_s1"]), batch["valid_hw_s1"])["plain5"]
         f2 = self.backbone(self._normalize(batch["images_s2"]), batch["valid_hw_s2"])["plain5"]
-        pooled = jnp.stack(
-            [
-                self._pool(f1[0], boxes[0], pv, obn),
-                self._pool(f1[1], boxes[1], pv, obn),
-                self._pool(f2[0], boxes[2], pv, obn),
-                self._pool(f2[1], boxes[3], pv, obn),
-            ]
-        )
+        views = (f1[0], f1[1], f2[0], f2[1])
+        if self.pooler_type == "ROIPool" and self.pool_impl in ("auto", "table"):
+            # all 4 views through ONE fused gather + ONE backward scatter
+            # over a concatenated doubling table — kills the per-view
+            # stack/pad/copy relayout chain (see roi_pool_multi docstring)
+            pooled = roi_pool_multi(
+                views, boxes, pv, obn,
+                spatial_scale=1.0 / self.stride,
+                output_size=(self.pooler_resolution, self.pooler_resolution),
+            )
+        else:
+            pooled = jnp.stack(
+                [self._pool(views[i], boxes[i], pv, obn) for i in range(4)]
+            )
         return self.roi_heads.losses(
             pooled, boxes, batch["objectness"], pv, batch["gt_classes_oh"]
         )

@@ -1,19 +1,29 @@
 """denseCRF: mean-field CRF refinement (native C++ via ctypes).
 
-Parity target: the wsl crf op (uwsod/projects/WSL/wsl/layers/crf.py:10-99,
-csrc/crf/crf_cpu.cpp:143-472), which wraps the Krähenbühl densecrf library
-(permutohedral lattice) for the WSJDS segmentation branch. This binding
-drives our own C++ implementation (sos_wsod_tpu/native/dense_crf.cpp): the
-same mean-field updates with spatial-Gaussian + bilateral Potts kernels, the
-high-dimensional filtering done with a splat/blur/slice bilateral grid.
+Parity target: the reference's PRODUCTION CRF path — the pydensecrf wrapper
+wsl/modeling/seg_heads/crf.py:6-83, which is what the WSJDS segmentation
+branch actually calls (seg_heads.py:13,191-199). This binding drives our own
+C++ implementation (sos_wsod_tpu/native/dense_crf.cpp): the same Krähenbühl
+mean-field updates with spatial-Gaussian + bilateral Potts kernels, the
+high-dimensional filtering done with a splat/blur/slice bilateral grid
+(pydensecrf / the vendored csrc/crf/densecrf use a permutohedral lattice —
+same algorithm family, different lattice, so marginals agree closely but
+not bitwise; see tests/test_reference_goldens.py).
 
-The reference flow reproduced by :func:`dense_crf`:
- - probabilities are clamped to >= 1e-4 and passed as the unary term
-   (crf_cpu.cpp unary_process:74-94 — the reference feeds probs, not -log);
- - the image is bilinearly resized to the unary's resolution and shifted by
-   the caffe pixel means before uint8 conversion (crf_cpu.cpp:46-71,430+);
- - the output marginals are re-clamped to >= 1e-4 and renormalised
-   (result_process:97-141).
+The production flow reproduced by :func:`dense_crf`:
+ - unary energies = -log(clip(p, 1e-5, 1)) — pydensecrf's
+   ``unary_from_softmax`` (seg_heads/crf.py:64-65);
+ - a FLOAT scale factor ``size_std / max(H, W)`` divides the spatial stds
+   of both kernels (seg_heads/crf.py:50,67-73);
+ - the raw inference marginals are returned, no re-clamping
+   (seg_heads/crf.py:79-83).
+
+NOT the parity target: the in-repo C++ op (wsl/layers/crf.py +
+csrc/crf/crf_cpu.cpp). seg_heads.py:12 comments it out in favour of
+pydensecrf, and it is broken anyway: RunOnDevice shadows its H/W/m_nlabels
+members with locals (crf_cpu.cpp:355-357 — set_unary_energy reads
+uninitialized fields, UB) and feeds raw probabilities where energies are
+expected (unary_process, crf_cpu.cpp:74-95).
 
 This is a host-side op (the reference's is too — CPU-only): call it outside
 jit, or through ``jax.pure_callback`` with fixed shapes.
@@ -97,7 +107,7 @@ def dense_crf(
     image: np.ndarray,           # (3, H', W') float (caffe BGR - mean) or uint8
     *,
     max_iter: int = 10,
-    scale_factor: float = 1.0,
+    size_std: float = 500.0,
     pos_w: float = 3.0,
     pos_x_std: float = 3.0,
     pos_y_std: float = 3.0,
@@ -109,7 +119,11 @@ def dense_crf(
     bi_b_std: float = 13.0,
     pixel_means=(102.9801, 115.9465, 122.7717),
 ) -> np.ndarray:
-    """Returns refined (C, H, W) probabilities."""
+    """Returns refined (C, H, W) probabilities.
+
+    Defaults match seg_heads/crf.py:7-20; the float scale factor
+    ``size_std / max(H, W)`` divides the spatial stds internally
+    (seg_heads/crf.py:50,67-73)."""
     c, h, w = probs.shape
     if image.dtype == np.uint8:
         img = np.ascontiguousarray(np.moveaxis(image, 0, -1))
@@ -124,19 +138,19 @@ def dense_crf(
         xs = np.clip((np.arange(w) * img.shape[1] / w), 0, img.shape[1] - 1).astype(int)
         img = np.ascontiguousarray(img[ys][:, xs])
 
-    unary = np.maximum(np.asarray(probs, np.float32), 1e-4)
+    # pydensecrf unary_from_softmax (seg_heads/crf.py:64-65)
+    unary = -np.log(np.clip(np.asarray(probs, np.float32), 1e-5, 1.0))
     unary = np.ascontiguousarray(np.moveaxis(unary, 0, -1).reshape(-1, c))
+    scale = 1.0 * size_std / max(h, w)
     out = np.empty((h * w, c), np.float32)
     ret = _lib().sos_dense_crf(
         unary.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         h, w, c, int(max_iter),
-        pos_w, pos_x_std / scale_factor, pos_y_std / scale_factor,
-        bi_w, bi_x_std / scale_factor, bi_y_std / scale_factor,
+        pos_w, pos_x_std / scale, pos_y_std / scale,
+        bi_w, bi_x_std / scale, bi_y_std / scale,
         bi_r_std, bi_g_std, bi_b_std,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     if ret != 0:
         raise RuntimeError(f"sos_dense_crf failed with code {ret}")
-    out = np.maximum(out, 1e-4)
-    out = out / out.sum(axis=1, keepdims=True)
     return np.moveaxis(out.reshape(h, w, c), -1, 0)

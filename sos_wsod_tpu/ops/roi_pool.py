@@ -260,6 +260,164 @@ def roi_pool(
     return jnp.transpose(out, (0, 3, 1, 2))  # (P, C, PH, PW)
 
 
+def _multi_prep(feats, boxes, valid, spatial_scale, ph_out, pw_out):
+    """Shared fwd/bwd precompute: per-view doubling tables concatenated
+    row-wise + flat corner indices/masks for ALL views' bins."""
+    v = len(feats)
+    tables, corner_list, empty_list, dims = [], [], [], []
+    off = 0
+    for i in range(v):
+        h, w, _ = feats[i].shape
+        lh = _num_levels(h // ph_out + 4)
+        lw = _num_levels(w // pw_out + 4)
+        t = build_max_table_flat(feats[i], lh, lw)
+        corners, empty = _bin_corner_indices(
+            boxes[i], valid, h, w, ph_out, pw_out, lw, spatial_scale)
+        corner_list.append(jnp.stack(corners, axis=0) + off)  # (4, P, PH, PW)
+        empty_list.append(empty)
+        tables.append(t)
+        dims.append((h, w, lh, lw, t.shape[0]))
+        off += t.shape[0]
+    t_all = jnp.concatenate(tables, axis=0)
+    p = boxes.shape[1]
+    nb = v * p * ph_out * pw_out
+    idx = jnp.stack(corner_list, axis=1).reshape(4, nb)    # (4, VB)
+    empty = jnp.stack(empty_list, axis=0)                  # (V, P, PH, PW)
+    mask = ((~empty) & valid[None, :, None, None]).reshape(nb)
+    return t_all, idx, mask, dims
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _roi_pool_multi(spatial_scale, output_size, feats, boxes, valid,
+                    row_scale):
+    out, _ = _roi_pool_multi_fwd(spatial_scale, output_size, feats, boxes,
+                                 valid, row_scale)
+    return out
+
+
+def _roi_pool_multi_fwd(spatial_scale, output_size, feats, boxes, valid,
+                        row_scale):
+    ph_out, pw_out = output_size
+    v, p = boxes.shape[0], boxes.shape[1]
+    c = feats[0].shape[-1]
+    t_all, idx, mask, _ = _multi_prep(feats, boxes, valid, spatial_scale,
+                                      ph_out, pw_out)
+    g = jnp.take(t_all, idx, axis=0)               # (4, VB, C) flat rows
+    # ONE variadic reduce produces max and first-winning-corner together:
+    # separate jnp.max + jnp.argmax would stream the 3.3 GB gather output
+    # through HBM twice (~31 ms/step at production shapes; this is ~half).
+    iota = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0)
+
+    def _pick(a, b):
+        av, ai = a
+        bv, bi = b
+        take_a = (av > bv) | ((av == bv) & (ai <= bi))
+        return (jnp.where(take_a, av, bv), jnp.where(take_a, ai, bi))
+
+    out_pre, win_i = jax.lax.reduce(
+        (g, iota), (jnp.asarray(-jnp.inf, g.dtype), jnp.int32(4)), _pick, (0,))
+    # winner-corner residual: index of the FIRST corner attaining the max,
+    # stored as bf16 (8-bit tensors hit Mosaic's emulated int8 path). 4x
+    # smaller than keeping g (822 MB vs 3.3 GB at production shapes) — the
+    # full-g residual variant OOMs 16 GB HBM alongside the DAN activations.
+    # Routing the cotangent to the first tied corner (vs jnp.max's even
+    # split) is a subgradient-level choice only: corners overlap, so ties
+    # are overwhelmingly the SAME feature cell seen through two blocks, and
+    # the table build's VJP sums both routes back to that one cell — the
+    # feature gradient is identical whenever tied corners share their max
+    # cell (always, for continuous-valued features).
+    win = win_i.astype(feats[0].dtype)
+    if row_scale is not None:
+        scale = jnp.broadcast_to(
+            row_scale.astype(out_pre.dtype)[None, :, None],
+            (v, p, ph_out * pw_out)).reshape(-1)
+        out = out_pre * scale[:, None]
+    else:
+        out = out_pre
+    out = jnp.where(mask[:, None], out, 0.0).astype(feats[0].dtype)
+    out = out.reshape(v, p, ph_out, pw_out, c)
+    return out, (win, feats, boxes, valid, row_scale)
+
+
+def _roi_pool_multi_bwd(spatial_scale, output_size, res, ct):
+    ph_out, pw_out = output_size
+    win, feats, boxes, valid, row_scale = res
+    v, p = boxes.shape[0], boxes.shape[1]
+    c = feats[0].shape[-1]
+    dtype = feats[0].dtype
+    _, idx, mask, dims = _multi_prep(feats, boxes, valid, spatial_scale,
+                                     ph_out, pw_out)
+    ct_flat = ct.reshape(-1, c).astype(dtype)      # (VB, C)
+    if row_scale is not None:
+        scale = jnp.broadcast_to(
+            row_scale.astype(dtype)[None, :, None],
+            (v, p, ph_out * pw_out)).reshape(-1)
+        ct_flat = ct_flat * scale[:, None]
+    ct_flat = jnp.where(mask[:, None], ct_flat, 0.0)
+    # route the whole cotangent to the first tied corner (see fwd comment),
+    # computed directly in the scatter's flat (4*VB, C) row layout
+    updates = jnp.stack(
+        [jnp.where(win == k, ct_flat, jnp.asarray(0.0, dtype))
+         for k in range(4)])
+    rows = sum(d[4] for d in dims)
+    dt_all = jnp.zeros((rows, c), dtype).at[idx.reshape(-1)].add(
+        updates.reshape(-1, c))
+    dfeats = []
+    off = 0
+    for i, (h, w, lh, lw, r) in enumerate(dims):
+        _, vjp_fn = jax.vjp(
+            lambda f, lh=lh, lw=lw: build_max_table_flat(f, lh, lw), feats[i])
+        dfeats.append(vjp_fn(dt_all[off:off + r])[0])
+        off += r
+    return (tuple(dfeats), None, None, None)
+
+
+_roi_pool_multi.defvjp(_roi_pool_multi_fwd, _roi_pool_multi_bwd)
+
+
+@partial(jax.jit, static_argnames=("spatial_scale", "output_size",
+                                   "channels_last"))
+def roi_pool_multi(
+    feats,
+    boxes: jnp.ndarray,
+    valid: jnp.ndarray,
+    row_scale: jnp.ndarray = None,
+    *,
+    spatial_scale: float,
+    output_size: Tuple[int, int] = (7, 7),
+    channels_last: bool = True,
+):
+    """ROI max pool over V synchronized views in ONE gather/scatter pair.
+
+    The stage-1 multi-view step (4 views, reference rcnn_multi.py:179-226)
+    spends >50% of its device time pooling: corner gathers, their backward
+    scatter, and — under plain autodiff — ~60 ms/step of eq-select fusions
+    and 3.3 GB relayout copies shuttling the (4, V, P, 7, 7, C) cotangent
+    between the consumer's 6-D layout and the scatter's flat row layout.
+    This variant concatenates the per-view doubling tables row-wise, answers
+    ALL views' bins with a single take, and hand-writes the VJP so the
+    backward computes its corner updates directly in the flat (4*V*P*49, C)
+    scatter layout — numerically identical to per-view ``roi_pool``
+    (same tables, same corner indices, same split-ties max subgradient).
+
+    Args:
+        feats: sequence of V (H_i, W_i, C) feature maps (channels-last);
+            views may have different spatial sizes (two scales x id/flip).
+        boxes: (V, P, 4) per-view XYXY proposal coordinates.
+        valid: (P,) shared proposal validity.
+        row_scale: optional (P,) fused epilogue scale (objectness weighting;
+            no gradient — stage-1 objectness is input data, never trained).
+    Returns:
+        (V, P, PH, PW, C) pooled features, or (V, P, C, PH, PW) when
+        ``channels_last=False``.
+    """
+    out = _roi_pool_multi(spatial_scale, output_size, tuple(feats), boxes,
+                          valid, row_scale)
+    if channels_last:
+        return out
+    return jnp.transpose(out, (0, 1, 4, 2, 3))
+
+
 # --------------------------------------------------------------------------
 # argmax-key fast path (bf16): int32 key = sortable16(value) * 2^15 + rank,
 # rank = (H*W - 1 - flat_pos) so the table max is the max VALUE with the

@@ -59,10 +59,9 @@ def test_dense_crf_follows_image_edges():
     noisy = np.where(correct, label, 1 - label)
     probs[0] = np.where(noisy == 0, 0.9, 0.1)
     probs[1] = 1 - probs[0]
-    # NOTE the reference feeds probabilities as unary ENERGIES, so the CRF
-    # minimizes toward the LOW-probability label; to refine toward the
-    # high-probability label we pass (1 - p) like an energy
-    out = dense_crf(1.0 - probs, img, max_iter=10,
+    # size_std = max(h, w) pins the internal scale factor to 1 so the stds
+    # below are used as-is (production semantics: -log(p) unaries)
+    out = dense_crf(probs, img, max_iter=10, size_std=float(max(h, w)),
                     pos_w=1.0, pos_x_std=3.0, pos_y_std=3.0,
                     bi_w=4.0, bi_x_std=20.0, bi_y_std=20.0,
                     bi_r_std=30.0, bi_g_std=30.0, bi_b_std=30.0)

@@ -189,6 +189,47 @@ def test_roi_pool_gradient_flows():
     assert np.asarray(g).sum() > 0
 
 
+def test_roi_pool_multi_matches_per_view():
+    """roi_pool_multi (fused 4-view gather) == per-view roi_pool, fwd + grad."""
+    import jax
+    from sos_wsod_tpu.ops.roi_pool import roi_pool_multi
+
+    rng = np.random.RandomState(7)
+    scale = 0.125
+    shapes = [(22, 32), (22, 32), (18, 26), (18, 26)]  # 2 scales x id/flip
+    c, p = 6, 24
+    feats = [jnp.asarray(rng.randn(h, w, c), jnp.float32) for h, w in shapes]
+    boxes = np.stack([_rand_boxes(rng, p, h / scale, w / scale)
+                      for h, w in shapes])
+    valid = np.ones(p, bool); valid[-3:] = False
+    rs = rng.uniform(1.0, 2.0, p).astype(np.float32)
+
+    def multi(fs):
+        return roi_pool_multi(fs, jnp.asarray(boxes), jnp.asarray(valid),
+                              jnp.asarray(rs), spatial_scale=scale,
+                              output_size=(7, 7))
+
+    def per_view(fs):
+        return jnp.stack([
+            roi_pool(fs[i], jnp.asarray(boxes[i]), jnp.asarray(valid),
+                     jnp.asarray(rs), spatial_scale=scale, output_size=(7, 7),
+                     channels_last=True)
+            for i in range(4)
+        ])
+
+    out_m = multi(tuple(feats))
+    out_s = per_view(tuple(feats))
+    np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_s),
+                               rtol=1e-6, atol=1e-6)
+
+    ct = jnp.asarray(rng.randn(*out_m.shape), jnp.float32)
+    gm = jax.grad(lambda fs: jnp.vdot(multi(fs), ct))(tuple(feats))
+    gs = jax.grad(lambda fs: jnp.vdot(per_view(fs), ct))(tuple(feats))
+    for a, b in zip(gm, gs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
 # ----------------------------------------------------------------- roi align
 @pytest.mark.parametrize("sampling_ratio", [2, 0])
 @pytest.mark.parametrize("aligned", [True, False])

@@ -146,6 +146,7 @@ TPU:
   PROPOSAL_CAPACITY: 64
   PGT_SEED_CAPACITY: 16
   IMAGE_SIZE_DIVISIBILITY: 32
+  MESH_DEVICES: 1
 DATALOADER: {NUM_WORKERS: 0, FILTER_EMPTY_ANNOTATIONS: False}
 WSODEVAL: {SAVE_DETECTION_RESULT: False}
 OUTPUT_DIR: "output/stage1"
@@ -197,6 +198,7 @@ DATALOADER:
 TPU:
   PGT_CAPACITY: 16
   IMAGE_SIZE_DIVISIBILITY: 32
+  MESH_DEVICES: 1
 OUTPUT_DIR: "__OUT_DIR__"
 SEED: 1234
 """
@@ -212,7 +214,7 @@ MODEL:
 DATASETS:
   TRAIN: ["voc_2007_train_wsl", "voc_2007_val_wsl"]
 INPUT: {MIN_SIZE_TEST: 96, MAX_SIZE_TEST: 160}
-TPU: {PGT_CAPACITY: 16, IMAGE_SIZE_DIVISIBILITY: 32}
+TPU: {PGT_CAPACITY: 16, IMAGE_SIZE_DIVISIBILITY: 32, MESH_DEVICES: 1}
 """
 
 

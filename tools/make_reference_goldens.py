@@ -63,6 +63,7 @@ std::tuple<at::Tensor, at::Tensor, at::Tensor> ROILabel_forward_cpu(
     const at::Tensor& S, const at::Tensor& U, const at::Tensor& L,
     const at::Tensor& CW, const at::Tensor& P);
 }
+#include "cocoeval.h"
 namespace detectron2 {
 at::Tensor ROIAlign_forward_cpu(
     const at::Tensor& input, const at::Tensor& rois,
@@ -78,6 +79,14 @@ PYBIND11_MODULE(TORCH_EXTENSION_NAME, m) {
   m.def("pcl_loss_backward", &wsl::pcl_loss_backward_cpu);
   m.def("roi_merge_forward", &wsl::ROIMerge_forward_cpu);
   m.def("roi_label_forward", &wsl::ROILabel_forward_cpu);
+  m.def("cocoeval_evaluate_images", &detectron2::COCOeval::EvaluateImages);
+  m.def("cocoeval_accumulate", &detectron2::COCOeval::Accumulate);
+  pybind11::class_<detectron2::COCOeval::InstanceAnnotation>(
+      m, "InstanceAnnotation")
+      .def(pybind11::init<uint64_t, double, double, bool, bool>());
+  pybind11::class_<detectron2::COCOeval::ImageEvaluation>(
+      m, "ImageEvaluation")
+      .def(pybind11::init<>());
 }
 """
 
@@ -100,6 +109,8 @@ def build_extension(tmp: pathlib.Path):
         WSL_CSRC / "ROILabel/ROILabel.h",
         D2_CSRC / "ROIAlign/ROIAlign_cpu.cpp",
         D2_CSRC / "ROIAlign/ROIAlign.h",
+        D2_CSRC / "cocoeval/cocoeval.cpp",
+        D2_CSRC / "cocoeval/cocoeval.h",
     ]
     cpps = []
     for f in wanted:
@@ -311,6 +322,294 @@ def gen_roi_label(ext, out_dir):
     print("roi_label:", gl.shape, gw.shape)
 
 
+CRF_BINDINGS = r"""
+// Thin wrapper over the reference's vendored Kraehenbuehl DenseCRF2D
+// (csrc/crf/densecrf — the same permutohedral-lattice code pydensecrf
+// wraps). All pre/post-processing lives in the Python caller, which
+// replicates the reference's PRODUCTION CRF path: the pydensecrf wrapper
+// in wsl/modeling/seg_heads/crf.py:6-83 (unary_from_softmax + float
+// scale_factor). NOTE the in-repo C++ op (crf_cpu.cpp) is NOT the parity
+// target: seg_heads.py:12 comments it out in favour of pydensecrf, and it
+// is broken anyway — RunOnDevice shadows the H/W/m_nlabels members with
+// locals (crf_cpu.cpp:355-357), so set_unary_energy() reads uninitialized
+// fields, and unary_process feeds raw probabilities where energies are
+// expected (crf_cpu.cpp:74-95).
+#include <torch/extension.h>
+#include "densecrf.h"
+
+// unary: (C, H*W) energies (-log p); image: (H, W, 3) uint8;
+// stds are pre-divided by the caller's scale factor.
+at::Tensor crf_raw(const at::Tensor& unary, const at::Tensor& image,
+                   int H, int W, int max_iter, float pos_w, float pos_x_std,
+                   float pos_y_std, float bi_w, float bi_x_std,
+                   float bi_y_std, float bi_r_std, float bi_g_std,
+                   float bi_b_std) {
+  const int C = unary.size(0);
+  auto Uc = unary.contiguous();
+  auto Ic = image.contiguous();
+  DenseCRF2D crf(W, H, C);
+  // torch row-major (C, N) == Eigen col-major (N, C) transposed; build the
+  // (C, N) col-major matrix explicitly
+  Eigen::MatrixXf u(C, (long)H * W);
+  const float* up = Uc.data_ptr<float>();
+  for (long i = 0; i < (long)H * W; i++)
+    for (int c = 0; c < C; c++) u(c, i) = up[(size_t)c * H * W + i];
+  crf.setUnaryEnergy(u);
+  crf.addPairwiseGaussian(pos_x_std, pos_y_std, new PottsCompatibility(pos_w));
+  crf.addPairwiseBilateral(bi_x_std, bi_y_std, bi_r_std, bi_g_std, bi_b_std,
+                           Ic.data_ptr<unsigned char>(),
+                           new PottsCompatibility(bi_w));
+  Eigen::MatrixXf Q = crf.inference(max_iter);
+  at::Tensor M = at::zeros({C, H, W}, at::kFloat);
+  float* mp = M.data_ptr<float>();
+  for (long i = 0; i < (long)H * W; i++)
+    for (int c = 0; c < C; c++) mp[(size_t)c * H * W + i] = Q(c, i);
+  return M;
+}
+
+PYBIND11_MODULE(TORCH_EXTENSION_NAME, m) {
+  m.def("crf_raw", &crf_raw);
+}
+"""
+
+
+def build_crf_extension(tmp: pathlib.Path):
+    """Compile the reference's denseCRF (crf_cpu.cpp + the vendored
+    Krähenbühl densecrf library with its bundled Eigen) in place — sources
+    are referenced read-only from /root/reference, only objects are written
+    to the temp build dir."""
+    from torch.utils import cpp_extension
+
+    crf = WSL_CSRC / "crf"
+    dcrf = crf / "densecrf"
+    src = tmp / "crf_src"
+    src.mkdir(parents=True, exist_ok=True)
+    (src / "bindings.cpp").write_text(CRF_BINDINGS)
+    sources = [str(src / "bindings.cpp")]
+    sources += [str(p) for p in sorted((dcrf / "src").glob("*.cpp"))]
+    lbfgs = dcrf / "external/liblbfgs"
+    if (lbfgs / "lib/lbfgs.c").exists():
+        sources.append(str(lbfgs / "lib/lbfgs.c"))
+    build = tmp / "crf_build"
+    build.mkdir(exist_ok=True)
+    return cpp_extension.load(
+        name="sos_ref_crf",
+        sources=sources,
+        extra_cflags=["-O2", "-w"],
+        extra_include_paths=[str(crf), str(dcrf / "include"),
+                             str(dcrf / "src"), str(lbfgs / "include")],
+        build_directory=str(build),
+        verbose=False,
+    )
+
+
+def gen_crf(out_dir, tmp):
+    """Golden denseCRF marginals replicating the reference's PRODUCTION CRF
+    path — wsl/modeling/seg_heads/crf.py:49-83 (pydensecrf): unary =
+    unary_from_softmax(probs) = -log(clip(p, 1e-5, 1)), float scale_factor
+    = size_std / max(H, W) dividing the spatial stds, Potts compat, and the
+    raw inference marginals returned — driven through the reference's own
+    vendored permutohedral-lattice densecrf (the same code pydensecrf
+    wraps). Our bilateral-grid reimplementation (native/dense_crf.cpp) is
+    algorithmically different in the filtering step, so the parity test
+    asserts MAP-label agreement + close marginals, not bit equality."""
+    import torch
+
+    ext = build_crf_extension(tmp)
+    rng = np.random.RandomState(17)
+    c, h, w = 4, 48, 64
+    # piecewise-constant image with noise: CRF should snap unaries to edges
+    img = np.zeros((h, w, 3), np.float32)
+    img[:, : w // 2] = (200, 60, 60)
+    img[:, w // 2:] = (40, 180, 220)
+    img[h // 2:, : w // 4] = (90, 240, 90)
+    img += rng.normal(0, 8, img.shape).astype(np.float32)
+    img_u8 = np.clip(img, 0, 255).astype(np.uint8)
+    # unaries: noisy blobs roughly aligned with the regions
+    probs = np.full((c, h, w), 0.1, np.float32)
+    probs[1, :, : w // 2] += 0.6
+    probs[2, :, w // 2:] += 0.6
+    probs[3, h // 2:, : w // 4] += 0.4
+    probs += rng.uniform(0, 0.2, probs.shape).astype(np.float32)
+    probs /= probs.sum(0, keepdims=True)
+
+    # seg_heads/crf.py:49-77 pipeline with its defaults (max_iter=10,
+    # size_std=500, pos_w=3, pos_xy=3, bi_w=10, bi_xy=80, bi_rgb=13)
+    scale = 1.0 * 500 / max(h, w)
+    unary = -np.log(np.clip(probs, 1e-5, 1.0))  # unary_from_softmax
+    out = ext.crf_raw(
+        torch.from_numpy(unary.reshape(c, -1)), torch.from_numpy(img_u8),
+        h, w, 10, 3.0, 3.0 / scale, 3.0 / scale,
+        10.0, 80.0 / scale, 80.0 / scale, 13.0, 13.0, 13.0)
+    np.savez_compressed(out_dir / "dense_crf.npz",
+                        probs=probs, image_u8=img_u8, out=out.numpy())
+    print("dense_crf:", out.shape, "labels",
+          np.bincount(out.numpy().argmax(0).ravel(), minlength=c))
+
+
+def _iou_xywh(dts, gts, crowd):
+    """pycocotools maskUtils.iou for bbox: XYWH boxes, crowd gt uses
+    intersection / det-area (maskApi.c bbIou)."""
+    d, g = len(dts), len(gts)
+    out = np.zeros((d, g), np.float64)
+    for j in range(g):
+        gx, gy, gw, gh = gts[j]
+        ga = gw * gh
+        for i in range(d):
+            dx, dy, dw, dh = dts[i]
+            da = dw * dh
+            iw = min(dx + dw, gx + gw) - max(dx, gx)
+            ih = min(dy + dh, gy + gh) - max(dy, gy)
+            if iw <= 0 or ih <= 0:
+                continue
+            inter = iw * ih
+            union = da if crowd[j] else da + ga - inter
+            if union > 0:
+                out[i, j] = inter / union
+    return out
+
+
+def gen_cocoeval(ext, out_dir):
+    """Golden COCO bbox AP from the reference's own C++ COCOeval
+    (uwsod/detectron2/layers/csrc/cocoeval, driven exactly like
+    detectron2/evaluation/fast_eval_api.py:27-122 drives it), on a synthetic
+    dataset covering crowd gts, area ranges, maxDets truncation, empty
+    (img, cat) cells, score ties and ignore-region absorption."""
+    import types
+
+    rng = np.random.RandomState(13)
+    img_ids = [1, 2, 3, 4]
+    cat_ids = [1, 2, 3]
+    gts, dts = [], []
+    gid, did = 1, 1
+
+    def add_gt(img, cat, box, crowd=0):
+        nonlocal gid
+        gts.append(dict(id=gid, image_id=img, category_id=cat,
+                        bbox=[float(b) for b in box],
+                        area=float(box[2] * box[3]), iscrowd=crowd, ignore=0))
+        gid += 1
+
+    def add_dt(img, cat, box, score):
+        nonlocal did
+        dts.append(dict(id=did, image_id=img, category_id=cat,
+                        bbox=[float(b) for b in box],
+                        area=float(box[2] * box[3]), score=float(score)))
+        did += 1
+
+    # image 1: plain detections across the 3 area ranges
+    for cat in cat_ids:
+        for size in (12, 48, 150):  # small / medium / large
+            x, y = rng.uniform(0, 300, 2)
+            add_gt(1, cat, [x, y, size, size])
+            add_dt(1, cat, [x + rng.uniform(-4, 4), y + rng.uniform(-4, 4),
+                            size * rng.uniform(0.8, 1.2),
+                            size * rng.uniform(0.8, 1.2)],
+                   rng.uniform(0.3, 1.0))
+    # image 2: crowd gt absorbing several detections + a score tie
+    add_gt(2, 1, [50, 50, 200, 200], crowd=1)
+    add_gt(2, 1, [300, 60, 40, 80])
+    for k in range(5):
+        add_dt(2, 1, [60 + 25 * k, 70 + 10 * k, 50, 60], 0.7)  # tied scores
+    add_dt(2, 1, [301, 62, 38, 76], 0.9)
+    add_gt(2, 2, [10, 10, 20, 20])          # gt with no detections
+    add_dt(2, 3, [100, 100, 30, 30], 0.5)   # detections with no gt
+    # image 3: maxDets truncation — 120 dets for one gt-rich class
+    for k in range(8):
+        add_gt(3, 1, [40 * k, 40, 30, 30])
+    for k in range(120):
+        add_dt(3, 1, [40 * (k % 8) + rng.uniform(-6, 6),
+                      40 + rng.uniform(-6, 6), 30, 30],
+               rng.uniform(0, 1))
+    # image 4: empty image (no gt, no det) + near-duplicate boxes
+    add_gt(4, 3, [5, 5, 60, 60])
+    add_dt(4, 3, [5, 5, 60, 60], 0.8)
+    add_dt(4, 3, [5, 5, 60, 60], 0.8)  # exact duplicate, tied score
+
+    p = types.SimpleNamespace(
+        iouThrs=list(np.linspace(0.5, 0.95, 10)),
+        recThrs=list(np.linspace(0.0, 1.0, 101)),
+        catIds=cat_ids,
+        imgIds=img_ids,
+        areaRng=[[0.0, 1e10], [0.0, 32.0 ** 2], [32.0 ** 2, 96.0 ** 2],
+                 [96.0 ** 2, 1e10]],
+        maxDets=[1, 10, 100],
+        useCats=1,
+    )
+
+    _gts = {(i, c): [] for i in img_ids for c in cat_ids}
+    _dts = {(i, c): [] for i in img_ids for c in cat_ids}
+    for gg in gts:
+        gg["ignore"] = gg["ignore"] or gg["iscrowd"]
+        _gts[gg["image_id"], gg["category_id"]].append(gg)
+    for dd in dts:
+        _dts[dd["image_id"], dd["category_id"]].append(dd)
+
+    def compute_iou(img, cat):
+        gt, dt = _gts[img, cat], _dts[img, cat]
+        if not gt or not dt:
+            return []
+        dt = sorted(dt, key=lambda x: -x["score"])[: p.maxDets[-1]]
+        return _iou_xywh([d["bbox"] for d in dt], [g["bbox"] for g in gt],
+                         [g["iscrowd"] for g in gt])
+
+    ious = [[compute_iou(i, c) for c in cat_ids] for i in img_ids]
+    gt_cpp = [[[ext.InstanceAnnotation(int(g["id"]), 0.0, g["area"],
+                                       bool(g["iscrowd"]), bool(g["ignore"]))
+                for g in _gts[i, c]] for c in cat_ids] for i in img_ids]
+    dt_cpp = [[[ext.InstanceAnnotation(int(d["id"]), d["score"], d["area"],
+                                       False, False)
+                for d in _dts[i, c]] for c in cat_ids] for i in img_ids]
+
+    evald = ext.cocoeval_evaluate_images(
+        p.areaRng, p.maxDets[-1], p.iouThrs, ious, gt_cpp, dt_cpp)
+    result = ext.cocoeval_accumulate(p, evald)
+    counts = list(result["counts"])  # [T, R, K, A, M]
+    precision = np.array(result["precision"]).reshape(counts)
+    recall = np.array(result["recall"]).reshape([counts[0]] + counts[2:])
+    scores = np.array(result["scores"]).reshape(counts)
+
+    def summarize(ap=1, iouThr=None, area="all", maxdet=100):
+        aind = {"all": 0, "small": 1, "medium": 2, "large": 3}[area]
+        mind = p.maxDets.index(maxdet)
+        if ap:
+            s = precision[:, :, :, aind, mind]
+            if iouThr is not None:
+                s = s[[int(np.argwhere(np.isclose(p.iouThrs, iouThr))[0][0])]]
+        else:
+            s = recall[:, :, aind, mind]
+            if iouThr is not None:
+                s = s[[int(np.argwhere(np.isclose(p.iouThrs, iouThr))[0][0])]]
+        s = s[s > -1]
+        return float(np.mean(s)) if s.size else -1.0
+
+    stats = np.array([
+        summarize(1), summarize(1, 0.5), summarize(1, 0.75),
+        summarize(1, area="small"), summarize(1, area="medium"),
+        summarize(1, area="large"),
+        summarize(0, maxdet=1), summarize(0, maxdet=10),
+        summarize(0, maxdet=100), summarize(0, area="small"),
+        summarize(0, area="medium"), summarize(0, area="large"),
+    ])
+
+    def pack(anns, det=False):
+        keys = ["id", "image_id", "category_id", "score"] if det else \
+               ["id", "image_id", "category_id", "iscrowd"]
+        meta = np.array([[a[k] for k in keys] for a in anns], np.float64)
+        boxes = np.array([a["bbox"] for a in anns], np.float64)
+        return meta, boxes
+
+    gmeta, gboxes = pack(gts)
+    dmeta, dboxes = pack(dts, det=True)
+    np.savez_compressed(
+        out_dir / "cocoeval.npz", gt_meta=gmeta, gt_boxes_xywh=gboxes,
+        dt_meta=dmeta, dt_boxes_xywh=dboxes, img_ids=np.array(img_ids),
+        cat_ids=np.array(cat_ids), precision=precision, recall=recall,
+        scores=scores, stats=stats)
+    print("cocoeval: AP=%.4f AP50=%.4f APs=%.4f" %
+          (stats[0], stats[1], stats[3]))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="tests/goldens")
@@ -332,6 +631,11 @@ def main(argv=None):
     gen_pcl_loss(ext, out_dir)
     gen_roi_merge(ext, out_dir)
     gen_roi_label(ext, out_dir)
+    gen_cocoeval(ext, out_dir)
+    try:
+        gen_crf(out_dir, tmp)
+    except Exception as e:  # big vendored build; don't lose the rest
+        print("dense_crf golden skipped:", e)
     print("goldens written to", out_dir)
 
 

@@ -98,7 +98,10 @@ def main(args):
         return do_test(cfg, model, state["params"])
 
     n_dev = len(jax.devices())
-    mesh = make_mesh() if n_dev > 1 else None
+    cap = int(getattr(cfg.TPU, "MESH_DEVICES", 0))
+    if cap > 0:
+        n_dev = min(n_dev, cap)
+    mesh = make_mesh(devices=jax.devices()[:n_dev]) if n_dev > 1 else None
     batch = cfg.SOLVER.IMS_PER_BATCH
     if mesh is not None and batch % n_dev != 0:
         raise ValueError(f"IMS_PER_BATCH {batch} not divisible by {n_dev} chips")

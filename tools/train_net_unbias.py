@@ -102,7 +102,10 @@ def main(args):
         return do_test(cfg, model, state[role])
 
     n_dev = len(jax.devices())
-    mesh = make_mesh() if n_dev > 1 else None
+    cap = int(getattr(cfg.TPU, "MESH_DEVICES", 0))
+    if cap > 0:
+        n_dev = min(n_dev, cap)
+    mesh = make_mesh(devices=jax.devices()[:n_dev]) if n_dev > 1 else None
     data_iter = build_semisup_loader_from_cfg(cfg)
 
     if cfg.SEMISUPNET.Trainer == "ubteacher":
