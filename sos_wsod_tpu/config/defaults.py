@@ -313,6 +313,10 @@ def get_default_cfg() -> CN:
     # every collective and a tiny ubteacher step grinds for minutes; the
     # SPMD path has its own dedicated mesh tests (test_engine.py).
     _C.TPU.MESH_DEVICES = 0
+    # >1 partitions the mesh (data, model) and shards the DAN fc stack
+    # Megatron-style over the "model" axis (parallel/sharding_rules.py);
+    # 1 = pure data parallelism like the reference's DDP
+    _C.TPU.MODEL_AXIS_SIZE = 1
     _C.TPU.REMAT_BACKBONE = False        # jax.checkpoint over backbone stages
     # ROIPool implementation: "auto" = fused Pallas kernel on TPU when the
     # shape qualifies (ops/pallas/roi_pool_fused.py), else the XLA doubling

@@ -114,6 +114,7 @@ def make_stage1_train_step(
     scan_steps: int = 1,
     inject_iter: bool = False,
     inject_cpgs: bool = False,
+    state_shardings=None,
 ) -> Callable:
     """Build the jitted SPMD train step.
 
@@ -189,12 +190,15 @@ def make_stage1_train_step(
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         repl = NamedSharding(mesh, P())
+        # tensor parallelism: state_shardings carries per-parameter specs
+        # (parallel/sharding_rules.py); None = plain DP (all replicated)
+        st = repl if state_shardings is None else state_shardings
         # with scan_steps the superbatch is (K, B, ...): shard the batch axis
         data = NamedSharding(mesh, P(None, data_axis) if scan_steps > 1 else P(data_axis))
         return jax.jit(
             step,
-            in_shardings=(repl, data, repl),
-            out_shardings=(repl, repl),
+            in_shardings=(st, data, repl),
+            out_shardings=(st, repl),
             donate_argnums=(0,) if donate else (),
         )
     return jax.jit(step, donate_argnums=(0,) if donate else ())
@@ -229,15 +233,27 @@ class Stage1Trainer(TrainerBase):
             tx = optax.MultiSteps(tx, every_k_schedule=iter_size)
         self.tx = tx
         self.step_stride = max(1, int(getattr(cfg.TPU, "SCAN_STEPS", 1) or 1))
-        # single-view heads with iteration-dependent losses / CPG constraints
-        head = getattr(self.model, "head", None)
-        self.train_step = make_stage1_train_step(
-            self.model, tx, mesh=mesh, scan_steps=self.step_stride,
-            inject_iter=head in ("CMIL", "CSC", "WSJDS"),
-            inject_cpgs=head in ("CSC", "WSJDS"),
-        )
         self.rng = rng if rng is not None else jax.random.PRNGKey(max(cfg.SEED, 0))
         self.state: Optional[Dict[str, Any]] = None
+        # tensor parallelism: a mesh with a >1 "model" axis shards the DAN fc
+        # stack Megatron-style (parallel/sharding_rules.py); the sharding
+        # tree needs the state structure, so jitted steps build lazily after
+        # init_state
+        self._state_shardings = None
+        self._train_step_fn = None
+
+    @property
+    def train_step(self):
+        if self._train_step_fn is None:
+            head = getattr(self.model, "head", None)
+            self._train_step_fn = make_stage1_train_step(
+                self.model, self.tx, mesh=self.mesh,
+                scan_steps=self.step_stride,
+                inject_iter=head in ("CMIL", "CSC", "WSJDS"),
+                inject_cpgs=head in ("CSC", "WSJDS"),
+                state_shardings=self._state_shardings,
+            )
+        return self._train_step_fn
 
     def init_state(self, example_batch) -> Dict[str, Any]:
         ix = (0, 0) if self.step_stride > 1 else (0,)
@@ -251,9 +267,16 @@ class Stage1Trainer(TrainerBase):
             "iter": jnp.zeros((), jnp.int32),
         }
         if self.mesh is not None:
-            from ..parallel.mesh import replicate
+            from ..parallel.sharding_rules import (
+                place_state, state_shardings, tp_enabled)
 
-            self.state = replicate(self.state, self.mesh)
+            if tp_enabled(self.mesh):
+                self._state_shardings = state_shardings(self.state, self.mesh)
+                self.state = place_state(self.state, self._state_shardings)
+            else:
+                from ..parallel.mesh import replicate
+
+                self.state = replicate(self.state, self.mesh)
         return self.state
 
     def _single_train_step(self):
@@ -265,6 +288,7 @@ class Stage1Trainer(TrainerBase):
                 self.model, self.tx, mesh=self.mesh, scan_steps=1,
                 inject_iter=head in ("CMIL", "CSC", "WSJDS"),
                 inject_cpgs=head in ("CSC", "WSJDS"),
+                state_shardings=self._state_shardings,
             )
         return self._single_step_fn
 

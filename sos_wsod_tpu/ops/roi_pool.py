@@ -28,6 +28,7 @@ overhang, beyond which windows would exceed the table's level range).
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Tuple
 
@@ -303,19 +304,24 @@ def _roi_pool_multi_fwd(spatial_scale, output_size, feats, boxes, valid,
     t_all, idx, mask, _ = _multi_prep(feats, boxes, valid, spatial_scale,
                                       ph_out, pw_out)
     g = jnp.take(t_all, idx, axis=0)               # (4, VB, C) flat rows
-    # ONE variadic reduce produces max and first-winning-corner together:
-    # separate jnp.max + jnp.argmax would stream the 3.3 GB gather output
-    # through HBM twice (~31 ms/step at production shapes; this is ~half).
-    iota = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0)
+    if os.environ.get("SOS_POOL_VARIADIC", "1") == "1":
+        # ONE variadic reduce produces max and first-winning-corner
+        # together: separate jnp.max + jnp.argmax stream the 3.3 GB gather
+        # output through HBM twice (~31 ms/step at production shapes).
+        iota = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0)
 
-    def _pick(a, b):
-        av, ai = a
-        bv, bi = b
-        take_a = (av > bv) | ((av == bv) & (ai <= bi))
-        return (jnp.where(take_a, av, bv), jnp.where(take_a, ai, bi))
+        def _pick(a, b):
+            av, ai = a
+            bv, bi = b
+            take_a = (av > bv) | ((av == bv) & (ai <= bi))
+            return (jnp.where(take_a, av, bv), jnp.where(take_a, ai, bi))
 
-    out_pre, win_i = jax.lax.reduce(
-        (g, iota), (jnp.asarray(-jnp.inf, g.dtype), jnp.int32(4)), _pick, (0,))
+        out_pre, win_i = jax.lax.reduce(
+            (g, iota), (jnp.asarray(-jnp.inf, g.dtype), jnp.int32(4)),
+            _pick, (0,))
+    else:  # two-pass fallback (same first-tie semantics), for A/B profiling
+        out_pre = jnp.max(g, axis=0)
+        win_i = jnp.argmax(g, axis=0)
     # winner-corner residual: index of the FIRST corner attaining the max,
     # stored as bf16 (8-bit tensors hit Mosaic's emulated int8 path). 4x
     # smaller than keeping g (822 MB vs 3.3 GB at production shapes) — the
@@ -356,12 +362,21 @@ def _roi_pool_multi_bwd(spatial_scale, output_size, res, ct):
     ct_flat = jnp.where(mask[:, None], ct_flat, 0.0)
     # route the whole cotangent to the first tied corner (see fwd comment),
     # computed directly in the scatter's flat (4*VB, C) row layout
-    updates = jnp.stack(
-        [jnp.where(win == k, ct_flat, jnp.asarray(0.0, dtype))
-         for k in range(4)])
     rows = sum(d[4] for d in dims)
-    dt_all = jnp.zeros((rows, c), dtype).at[idx.reshape(-1)].add(
-        updates.reshape(-1, c))
+    if os.environ.get("SOS_POOL_SCATTER", "stacked") == "chained":
+        # experimental: 4 chained scatter-adds whose update operands are
+        # where-masked views of ct — if XLA fuses the mask into the scatter
+        # input, the 3.3 GB stacked updates tensor never materializes
+        dt_all = jnp.zeros((rows, c), dtype)
+        for k in range(4):
+            dt_all = dt_all.at[idx[k]].add(
+                jnp.where(win == k, ct_flat, jnp.asarray(0.0, dtype)))
+    else:
+        updates = jnp.stack(
+            [jnp.where(win == k, ct_flat, jnp.asarray(0.0, dtype))
+             for k in range(4)])
+        dt_all = jnp.zeros((rows, c), dtype).at[idx.reshape(-1)].add(
+            updates.reshape(-1, c))
     dfeats = []
     off = 0
     for i, (h, w, lh, lw, r) in enumerate(dims):

@@ -19,8 +19,20 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(axis_name: str = "data", devices: Optional[Sequence] = None) -> Mesh:
+def make_mesh(axis_name: str = "data", devices: Optional[Sequence] = None,
+              model_axis_size: int = 1) -> Mesh:
+    """1-D data mesh, or a (data, model) 2-D mesh when model_axis_size > 1
+    (tensor parallelism for the DAN fc stack — parallel/sharding_rules.py).
+    The model axis takes the FASTEST-varying device positions so its
+    all-reduces ride adjacent-chip ICI links."""
     devices = list(devices) if devices is not None else jax.devices()
+    if model_axis_size > 1:
+        n = len(devices)
+        if n % model_axis_size != 0:
+            raise ValueError(
+                f"{n} devices not divisible by MODEL_AXIS_SIZE={model_axis_size}")
+        grid = np.asarray(devices).reshape(n // model_axis_size, model_axis_size)
+        return Mesh(grid, (axis_name, "model"))
     return Mesh(np.asarray(devices), (axis_name,))
 
 

@@ -208,3 +208,86 @@ def test_scan_superstep_matches_single_steps():
     for a, b in zip(jax.tree_util.tree_leaves(s["params"]),
                     jax.tree_util.tree_leaves(s2["params"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
+
+
+def test_tp_mesh_2x4_matches_dp():
+    """Tensor parallelism (Megatron split of the DAN fc stack over a
+    (data=2, model=4) mesh, parallel/sharding_rules.py) computes the same
+    step as pure DP: GSPMD collectives change layout, not math. The
+    reference has no analog (DDP replicates all ~330 MB of OICR+ params
+    per GPU); this is the TPU-native scaling path for the fc6-dominated
+    model."""
+    from jax.sharding import PartitionSpec as P
+
+    from sos_wsod_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from sos_wsod_tpu.parallel.sharding_rules import (
+        place_state, state_shardings, tp_enabled)
+
+    devices = jax.devices()
+    assert len(devices) == 8
+    model = MultiInputRCNN(num_classes=20, seed_cap=16, dan_dims=(32, 32))
+    samples = _tiny_samples(8)  # divisible by dp=8 (DP run) and dp=2 (TP run)
+    batch = jax.tree_util.tree_map(jnp.asarray, stack_batch(samples))
+    one = jax.tree_util.tree_map(lambda x: x[0], batch)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        one, train=True)["params"]
+    tx = torch_sgd(warmup_multistep_lr(1e-3, (100,)), momentum=0.9)
+    state0 = {"params": params, "opt_state": tx.init(params),
+              "iter": jnp.zeros((), jnp.int32)}
+
+    mesh_dp = make_mesh(devices=devices)
+    step_dp = make_stage1_train_step(model, tx, mesh=mesh_dp, donate=False)
+    s_dp, m_dp = step_dp(replicate(state0, mesh_dp),
+                         shard_batch(batch, mesh_dp), jax.random.PRNGKey(2))
+
+    mesh_tp = make_mesh(devices=devices, model_axis_size=4)
+    assert tp_enabled(mesh_tp) and mesh_tp.shape == {"data": 2, "model": 4}
+    sh = state_shardings(state0, mesh_tp)
+    assert sh["params"]["roi_heads"]["dan"]["fc1"]["kernel"].spec == \
+        P(None, "model")
+    assert sh["params"]["roi_heads"]["dan"]["fc2"]["kernel"].spec == \
+        P("model", None)
+    # the optimizer's momentum mirror shards identically (path-suffix rules)
+    mom = jax.tree_util.tree_leaves(
+        sh["opt_state"], is_leaf=lambda x: hasattr(x, "spec"))
+    assert any(getattr(x, "spec", None) == P(None, "model") for x in mom)
+    step_tp = make_stage1_train_step(model, tx, mesh=mesh_tp, donate=False,
+                                     state_shardings=sh)
+    s_tp, m_tp = step_tp(place_state(state0, sh),
+                         shard_batch(batch, mesh_tp), jax.random.PRNGKey(2))
+
+    np.testing.assert_allclose(float(m_tp["total_loss"]),
+                               float(m_dp["total_loss"]), rtol=5e-3)
+    # updated fc1 kernels agree (bf16 compute, different reduction order)
+    a = np.asarray(s_dp["params"]["roi_heads"]["dan"]["fc1"]["kernel"])
+    b = np.asarray(jax.device_get(
+        s_tp["params"]["roi_heads"]["dan"]["fc1"]["kernel"]))
+    np.testing.assert_allclose(a, b, rtol=1e-2, atol=1e-5)
+
+
+def test_trainer_nan_guard_raises(tmp_path):
+    """The trainer's non-finite-loss guard (reference detectron2
+    SimpleTrainer._detect_anomaly — raises FloatingPointError) must fire
+    when a poisoned batch drives the loss to NaN."""
+    from sos_wsod_tpu.config import get_default_cfg
+    from sos_wsod_tpu.engine.trainer import Stage1Trainer
+
+    cfg = get_default_cfg()
+    cfg.SOLVER.IMS_PER_BATCH = 1
+    cfg.SOLVER.MAX_ITER = 3
+    cfg.OUTPUT_DIR = str(tmp_path)
+    samples = _tiny_samples(1)
+    bad = dict(samples[0])
+    bad["images_s1"] = np.full_like(bad["images_s1"], np.nan)
+
+    def data_iter():
+        while True:
+            yield [bad]
+
+    model = MultiInputRCNN(num_classes=20, seed_cap=16, dan_dims=(32, 32))
+    tr = Stage1Trainer(cfg, model=model, data_iter=data_iter())
+    tr.storage = __import__(
+        "sos_wsod_tpu.utils.events", fromlist=["EventStorage"]).EventStorage(0)
+    with pytest.raises(FloatingPointError):
+        tr.run_step()

@@ -133,3 +133,19 @@ def test_frcnn_inference(frcnn_setup):
     # proposals inside the image
     b = np.asarray(pb)[np.asarray(pv)]
     assert (b[:, 0] >= 0).all() and (b[:, 2] <= 64).all()
+
+
+@pytest.mark.parametrize("fill", [np.inf, np.nan])
+def test_frcnn_inf_nan_data_yields_no_detections(frcnn_setup, fill):
+    """Mirror of the reference's robustness e2e test
+    (uwsod/tests/modeling/test_model_e2e.py:115-130,
+    test_roiheads_inf_nan_data): inference on an all-inf / all-NaN image
+    must come back with ZERO valid detections, not crash and not emit
+    garbage boxes — NaN scores fail every threshold comparison and are
+    filtered like the reference's."""
+    model, params, batch = frcnn_setup
+    bad = dict(batch)
+    bad["image"] = jnp.full_like(batch["image"], fill)
+    det, _, _ = model.apply({"params": params}, bad, branch="unsup_data_weak")
+    kept = np.asarray(det.valid)
+    assert kept.sum() == 0, f"{fill}: {kept.sum()} detections survived"

@@ -234,3 +234,48 @@ def test_dense_crf_agrees_with_reference_permutohedral():
     assert agree >= 0.90, f"MAP label agreement {agree:.3f} < 0.90"
     mad = np.abs(out - ref).mean()
     assert mad < 0.08, f"mean marginal deviation {mad:.4f} too large"
+
+
+def test_nms_matches_reference():
+    """Our fixpoint greedy NMS vs the reference's compiled greedy loop
+    (nms_rotated_cpu.cpp with angle=0 boxes — the kernel states it is
+    torchvision's nms_cpu_kernel modified for rotated boxes). Scores are
+    unique and IoUs off-boundary, so the CPU kernel's >= vs the
+    CUDA/torchvision > suppression boundary cannot differ here."""
+    if not (GOLD / "nms.npz").exists():
+        pytest.skip("nms golden not generated")
+    from sos_wsod_tpu.ops.nms import nms_mask
+
+    z = _load("nms.npz")
+    d = z["dets0"]
+    xyxy = np.stack([d[:, 0] - d[:, 2] / 2, d[:, 1] - d[:, 3] / 2,
+                     d[:, 0] + d[:, 2] / 2, d[:, 1] + d[:, 3] / 2], 1)
+    valid = np.ones(len(d), bool)
+    for thr in (0.3, 0.5, 0.7):
+        keep = nms_mask(jnp.asarray(xyxy), jnp.asarray(z["scores"]),
+                        jnp.asarray(valid), thr)
+        got = set(np.nonzero(np.asarray(keep))[0].tolist())
+        want = set(z["keep0_%d" % int(thr * 100)].tolist())
+        assert got == want, f"thr={thr}: {len(got)} kept vs {len(want)}"
+
+
+def test_nms_rotated_matches_reference():
+    """ops/rotated.py greedy NMS + exact polygon IoU vs the reference's
+    compiled rotated kernels on random-angle boxes."""
+    if not (GOLD / "nms.npz").exists():
+        pytest.skip("nms golden not generated")
+    from sos_wsod_tpu.ops.rotated import nms_rotated_mask, pairwise_iou_rotated
+
+    z = _load("nms.npz")
+    d = jnp.asarray(z["dets_r"])
+    iou = pairwise_iou_rotated(d[:64], d[64:128])
+    np.testing.assert_allclose(np.asarray(iou), z["iou_r"],
+                               rtol=2e-4, atol=2e-4)
+    keep = nms_rotated_mask(d, jnp.asarray(z["scores"]),
+                            jnp.asarray(np.ones(len(z["dets_r"]), bool)), 0.5)
+    got = set(np.nonzero(np.asarray(keep))[0].tolist())
+    want = set(z["keep_r50"].tolist())
+    # float32 polygon-clipping vs the kernel's double accumulation can flip
+    # near-threshold pairs; demand near-total agreement, not bit equality
+    sym = got.symmetric_difference(want)
+    assert len(sym) <= max(2, len(want) // 50), (len(got), len(want), sym)

@@ -69,6 +69,11 @@ at::Tensor ROIAlign_forward_cpu(
     const at::Tensor& input, const at::Tensor& rois,
     const float spatial_scale, const int pooled_height,
     const int pooled_width, const int sampling_ratio, bool aligned);
+at::Tensor nms_rotated_cpu(
+    const at::Tensor& dets, const at::Tensor& scores,
+    const float iou_threshold);
+at::Tensor box_iou_rotated_cpu(
+    const at::Tensor& boxes1, const at::Tensor& boxes2);
 }
 
 PYBIND11_MODULE(TORCH_EXTENSION_NAME, m) {
@@ -79,6 +84,8 @@ PYBIND11_MODULE(TORCH_EXTENSION_NAME, m) {
   m.def("pcl_loss_backward", &wsl::pcl_loss_backward_cpu);
   m.def("roi_merge_forward", &wsl::ROIMerge_forward_cpu);
   m.def("roi_label_forward", &wsl::ROILabel_forward_cpu);
+  m.def("nms_rotated", &detectron2::nms_rotated_cpu);
+  m.def("box_iou_rotated", &detectron2::box_iou_rotated_cpu);
   m.def("cocoeval_evaluate_images", &detectron2::COCOeval::EvaluateImages);
   m.def("cocoeval_accumulate", &detectron2::COCOeval::Accumulate);
   pybind11::class_<detectron2::COCOeval::InstanceAnnotation>(
@@ -111,6 +118,11 @@ def build_extension(tmp: pathlib.Path):
         D2_CSRC / "ROIAlign/ROIAlign.h",
         D2_CSRC / "cocoeval/cocoeval.cpp",
         D2_CSRC / "cocoeval/cocoeval.h",
+        D2_CSRC / "nms_rotated/nms_rotated_cpu.cpp",
+        D2_CSRC / "nms_rotated/nms_rotated.h",
+        D2_CSRC / "box_iou_rotated/box_iou_rotated_cpu.cpp",
+        D2_CSRC / "box_iou_rotated/box_iou_rotated.h",
+        D2_CSRC / "box_iou_rotated/box_iou_rotated_utils.h",
     ]
     cpps = []
     for f in wanted:
@@ -122,6 +134,12 @@ def build_extension(tmp: pathlib.Path):
             "#include <cfloat>\n#include <cmath>\n#include <cstdio>\n"
             "#include <cstdlib>\n#include <ctime>\n#include <vector>\n"
             "#include <algorithm>")
+        # sources are copied flat into one dir
+        text = text.replace('#include "../box_iou_rotated/box_iou_rotated_utils.h"',
+                            '#include "box_iou_rotated_utils.h"')
+        # box_iou_rotated.h's inline dispatcher references the cuda symbol
+        text = text.replace("#ifdef WITH_CUDA", "#if 0")
+        text = text.replace("#ifdef WITH_HIP", "#if 0")
         # headers are included as "ROILoopPool.h" etc. from the same dir
         out = src / f.name
         out.write_text(text)
@@ -469,6 +487,44 @@ def _iou_xywh(dts, gts, crowd):
     return out
 
 
+def gen_nms(ext, out_dir):
+    """Golden NMS keep-sets and rotated IoU matrices from the reference's
+    own compiled kernels (detectron2 csrc/nms_rotated + csrc/box_iou_rotated).
+    With angle=0 the rotated CPU kernel IS torchvision's greedy nms loop
+    (nms_rotated_cpu.cpp:12 says it is modified from torchvision's
+    nms_cpu_kernel) up to the suppression boundary: the CPU kernel
+    suppresses at ovr >= thr (:54) while the CUDA/production kernel and
+    torchvision use ovr > thr — scores here are unique and IoUs never land
+    exactly on the threshold, so the keep sets are identical under either
+    convention and valid goldens for both."""
+    import torch
+
+    rng = np.random.RandomState(29)
+    n = 300
+    cx = rng.uniform(20, 600, n)
+    cy = rng.uniform(20, 400, n)
+    bw = rng.uniform(8, 120, n)
+    bh = rng.uniform(8, 120, n)
+    dets0 = np.stack([cx, cy, bw, bh, np.zeros(n)], 1).astype(np.float32)
+    scores = (rng.permutation(n).astype(np.float32) + 1.0) / n  # unique
+    out = {}
+    for thr in (0.3, 0.5, 0.7):
+        k = ext.nms_rotated(torch.from_numpy(dets0),
+                            torch.from_numpy(scores), thr)
+        out["keep0_%d" % int(thr * 100)] = k.numpy()
+    ang = rng.uniform(-180.0, 180.0, n).astype(np.float32)
+    dets_r = np.stack([cx, cy, bw, bh, ang], 1).astype(np.float32)
+    keep_r = ext.nms_rotated(torch.from_numpy(dets_r),
+                             torch.from_numpy(scores), 0.5)
+    iou_r = ext.box_iou_rotated(torch.from_numpy(dets_r[:64]),
+                                torch.from_numpy(dets_r[64:128]))
+    np.savez_compressed(out_dir / "nms.npz", dets0=dets0, dets_r=dets_r,
+                        scores=scores, keep_r50=keep_r.numpy(),
+                        iou_r=iou_r.numpy(), **out)
+    print("nms:", {k: v.shape for k, v in out.items()},
+          "rot keep", keep_r.shape, "iou", iou_r.shape)
+
+
 def gen_cocoeval(ext, out_dir):
     """Golden COCO bbox AP from the reference's own C++ COCOeval
     (uwsod/detectron2/layers/csrc/cocoeval, driven exactly like
@@ -631,6 +687,7 @@ def main(argv=None):
     gen_pcl_loss(ext, out_dir)
     gen_roi_merge(ext, out_dir)
     gen_roi_label(ext, out_dir)
+    gen_nms(ext, out_dir)
     gen_cocoeval(ext, out_dir)
     try:
         gen_crf(out_dir, tmp)

@@ -101,10 +101,15 @@ def main(args):
     cap = int(getattr(cfg.TPU, "MESH_DEVICES", 0))
     if cap > 0:
         n_dev = min(n_dev, cap)
-    mesh = make_mesh(devices=jax.devices()[:n_dev]) if n_dev > 1 else None
+    tp = max(1, int(getattr(cfg.TPU, "MODEL_AXIS_SIZE", 1)))
+    mesh = (make_mesh(devices=jax.devices()[:n_dev], model_axis_size=tp)
+            if n_dev > 1 else None)
     batch = cfg.SOLVER.IMS_PER_BATCH
-    if mesh is not None and batch % n_dev != 0:
-        raise ValueError(f"IMS_PER_BATCH {batch} not divisible by {n_dev} chips")
+    dp = n_dev // tp if mesh is not None else 1
+    if mesh is not None and batch % dp != 0:
+        raise ValueError(
+            f"IMS_PER_BATCH {batch} not divisible by data-parallel size {dp}"
+            f" ({n_dev} chips / MODEL_AXIS_SIZE {tp})")
 
     data_iter = build_stage1_train_loader(cfg)
     trainer = Stage1Trainer(cfg, model=model, data_iter=data_iter, mesh=mesh)
