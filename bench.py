@@ -33,7 +33,8 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_tpu_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-SCAN_STEPS = 8
+SCAN_STEPS = int(os.environ.get("SOS_BENCH_SCAN", "8"))
+BATCH = int(os.environ.get("SOS_BENCH_BATCH", "1"))  # images per chip
 
 
 def main():
@@ -52,7 +53,7 @@ def main():
     # (K, B=1, ...) superbatch, device-resident across iterations
     batch = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(jnp.asarray(x)[None, None],
-                                   (SCAN_STEPS, 1) + x.shape), batch1)
+                                   (SCAN_STEPS, BATCH) + x.shape), batch1)
     batch = jax.tree_util.tree_map(jnp.asarray, batch)
 
     model = MultiInputRCNN(num_classes=20, seed_cap=1024, dtype=jnp.bfloat16)
@@ -65,7 +66,7 @@ def main():
 
     step = make_stage1_train_step(model, tx, mesh=None, donate=True,
                                   scan_steps=SCAN_STEPS)
-    key = jax.random.PRNGKey(2)
+    key = jax.random.key(2, impl="unsafe_rbg")  # hw-RNG dropout (TPU.PRNG_IMPL)
 
     # warmup / compile; device_get is the true sync point through the tunnel
     state, m = step(state, batch, key)
@@ -78,7 +79,7 @@ def main():
     jax.device_get(m)
     dt = time.perf_counter() - t0
 
-    imgs_per_sec = iters * SCAN_STEPS / dt
+    imgs_per_sec = iters * SCAN_STEPS * BATCH / dt
     baseline = 2.0  # assumed reference GPU images/sec (see module docstring)
     print(json.dumps({
         "metric": "stage1_train_images_per_sec_per_chip",

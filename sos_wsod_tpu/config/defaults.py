@@ -326,5 +326,11 @@ def get_default_cfg() -> CN:
     # the per-execute host/tunnel overhead; periods (checkpoint/eval/writer)
     # should be multiples of this
     _C.TPU.SCAN_STEPS = 1
+    # PRNG implementation for training randomness (dropout, augment draws).
+    # "unsafe_rbg" uses the TPU's hardware RNG path: the default threefry
+    # costs ~7 ms/step generating the two (16K, 4096) DAN dropout masks at
+    # stage-1 production shapes. Only statistical properties differ; set
+    # "threefry2x32" for torch-independent bit-reproducibility instead.
+    _C.TPU.PRNG_IMPL = "unsafe_rbg"
 
     return _C

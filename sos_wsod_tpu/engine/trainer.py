@@ -98,6 +98,19 @@ class TrainerBase:
         raise NotImplementedError
 
 
+def make_train_rng(cfg) -> jax.Array:
+    """Training PRNG key honoring TPU.PRNG_IMPL (hardware rbg by default —
+    the threefry dropout-mask generation costs ~7 ms/step at stage-1
+    production shapes; see config/defaults.py)."""
+    impl = str(getattr(cfg.TPU, "PRNG_IMPL", "") or "threefry2x32")
+    try:
+        # typed key: carries its impl through split/fold_in (a raw
+        # PRNGKey(..., impl=) array would be re-wrapped as threefry)
+        return jax.random.key(max(cfg.SEED, 0), impl=impl)
+    except (TypeError, ValueError):  # unknown impl name on this jax
+        return jax.random.key(max(cfg.SEED, 0))
+
+
 def stack_batch(samples: List[Dict[str, np.ndarray]], keys=None) -> Dict[str, np.ndarray]:
     """Stack per-image mapper outputs into a leading batch axis. All samples
     must share canvas/capacity shapes (the loader's bucketing guarantees it)."""
@@ -233,7 +246,7 @@ class Stage1Trainer(TrainerBase):
             tx = optax.MultiSteps(tx, every_k_schedule=iter_size)
         self.tx = tx
         self.step_stride = max(1, int(getattr(cfg.TPU, "SCAN_STEPS", 1) or 1))
-        self.rng = rng if rng is not None else jax.random.PRNGKey(max(cfg.SEED, 0))
+        self.rng = rng if rng is not None else make_train_rng(cfg)
         self.state: Optional[Dict[str, Any]] = None
         # tensor parallelism: a mesh with a >1 "model" axis shards the DAN fc
         # stack Megatron-style (parallel/sharding_rules.py); the sharding

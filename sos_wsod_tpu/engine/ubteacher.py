@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from .trainer import TrainerBase, stack_batch
+from .trainer import TrainerBase, make_train_rng, stack_batch
 
 logger = logging.getLogger(__name__)
 
@@ -233,7 +233,7 @@ class UBTeacherTrainer(TrainerBase):
             mesh=mesh,
         )
         self.burn_up_with_strong = cfg.SEMISUPNET.BURN_UP_WITH_STRONG_AUG
-        self.rng = rng if rng is not None else jax.random.PRNGKey(max(cfg.SEED, 0))
+        self.rng = rng if rng is not None else make_train_rng(cfg)
         self.state: Optional[Dict[str, Any]] = None
 
     def init_state(self, example_batch) -> Dict[str, Any]:
@@ -314,7 +314,7 @@ class BaselineTrainer(TrainerBase):
         self.mesh = mesh
         self.tx = build_optimizer(cfg)
         self.step_fn = make_supervised_step(self.model, self.tx, mesh=mesh)
-        self.rng = rng if rng is not None else jax.random.PRNGKey(max(cfg.SEED, 0))
+        self.rng = rng if rng is not None else make_train_rng(cfg)
         self.state: Optional[Dict[str, Any]] = None
 
     def init_state(self, example_batch) -> Dict[str, Any]:

@@ -303,6 +303,10 @@ def _roi_pool_multi_fwd(spatial_scale, output_size, feats, boxes, valid,
     c = feats[0].shape[-1]
     t_all, idx, mask, _ = _multi_prep(feats, boxes, valid, spatial_scale,
                                       ph_out, pw_out)
+    # NOTE (measured dead end): bit-packing bf16 channel pairs as f32 to
+    # halve the gather's lane-tile traffic is exact (bitcast round-trip) but
+    # measured 143 ms vs 71 ms fwd at production shapes — the pre/post
+    # bitcast relayouts cost more than the tile halving saves.
     g = jnp.take(t_all, idx, axis=0)               # (4, VB, C) flat rows
     if os.environ.get("SOS_POOL_VARIADIC", "1") == "1":
         # ONE variadic reduce produces max and first-winning-corner
@@ -361,7 +365,10 @@ def _roi_pool_multi_bwd(spatial_scale, output_size, res, ct):
         ct_flat = ct_flat * scale[:, None]
     ct_flat = jnp.where(mask[:, None], ct_flat, 0.0)
     # route the whole cotangent to the first tied corner (see fwd comment),
-    # computed directly in the scatter's flat (4*VB, C) row layout
+    # computed directly in the scatter's flat (4*VB, C) row layout. NOTE the
+    # winner corner is PER-CHANNEL (max is per-channel), so the scatter
+    # cannot be collapsed to one winner row per bin — each of the 4 corner
+    # rows carries the channels that corner won.
     rows = sum(d[4] for d in dims)
     if os.environ.get("SOS_POOL_SCATTER", "stacked") == "chained":
         # experimental: 4 chained scatter-adds whose update operands are

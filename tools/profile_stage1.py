@@ -55,7 +55,7 @@ def main():
     state = {"params": params, "opt_state": tx.init(params), "iter": jnp.zeros((), jnp.int32)}
 
     step = jax.jit(make_stage1_train_step(model, tx, mesh=None, donate=True))
-    key = jax.random.PRNGKey(2)
+    key = jax.random.key(2, impl="unsafe_rbg")  # hw-RNG dropout (TPU.PRNG_IMPL)
 
     t0 = time.perf_counter()
     state, m = step(state, batch, key)
@@ -92,6 +92,31 @@ def main():
             nm = e.get("args", {}).get("name", "")
             if "TPU" in nm and "pjrt" not in nm.lower():
                 dev_pids.add(e["pid"])
+    # source attribution: join op names against the compiled HLO's metadata
+    # (op_name="..." source_file=... lines). Leaf fusion names like
+    # "fusion.85" appear in the optimized HLO as instruction names.
+    src_of = {}
+    try:
+        import re
+
+        txt = step.lower(state, batch, key).compile().as_text()
+        for m in re.finditer(
+            r"%?([\w.\-]+)\s*=[^\n]*?metadata=\{([^}]*)\}", txt
+        ):
+            name, meta = m.group(1), m.group(2)
+            op = re.search(r'op_name="([^"]*)"', meta)
+            sf = re.search(r'source_file="([^"]*)"', meta)
+            sl = re.search(r"source_line=(\d+)", meta)
+            tag = ""
+            if op:
+                tag = op.group(1)
+            if sf:
+                tag += f" [{os.path.basename(sf.group(1))}:{sl.group(1) if sl else '?'}]"
+            if tag:
+                src_of[name] = tag
+    except Exception as exc:  # lowering twice can fail on donation; best-effort
+        print(f"(no HLO attribution: {exc})")
+
     agg = collections.Counter()
     total = 0.0
     for e in events:
@@ -101,8 +126,18 @@ def main():
             agg[name] += dur
             total += dur
     print(f"\ndevice total {total/args.iters:.1f} ms/step over {args.iters} steps; top ops:")
-    for name, dur in agg.most_common(40):
-        print(f"  {dur/args.iters:8.2f} ms  {100*dur/total:5.1f}%  {name[:120]}")
+    for name, dur in agg.most_common(60):
+        tag = src_of.get(name, src_of.get(name.split(":")[-1], ""))
+        print(f"  {dur/args.iters:8.2f} ms  {100*dur/total:5.1f}%  {name[:60]}  {tag[:140]}")
+    # grouped-by-source rollup of EVERYTHING (incl. the sub-0.5ms tail)
+    by_src = collections.Counter()
+    for name, dur in agg.items():
+        tag = src_of.get(name, src_of.get(name.split(":")[-1], ""))
+        key_ = tag.split(" [")[-1].rstrip("]") if "[" in tag else (tag or name)
+        by_src[key_] += dur
+    print("\nrollup by source location:")
+    for key_, dur in by_src.most_common(40):
+        print(f"  {dur/args.iters:8.2f} ms  {100*dur/total:5.1f}%  {key_[:120]}")
 
 
 if __name__ == "__main__":
