@@ -95,6 +95,32 @@ def build_max_table_flat(feat: jnp.ndarray, lh: int, lw: int) -> jnp.ndarray:
     return jnp.concatenate(blocks, axis=0)
 
 
+def build_max_table_hexact_flat(feat: jnp.ndarray, sh: int, lw: int) -> jnp.ndarray:
+    """feat (H, W, C) -> flat (sh*lw*H*W, C) exact-height x doubling-width
+    max table.
+
+    Block (s, kw) holds, at cell (h, w), the max over the s x 2^kw window
+    anchored there (exact height s in 1..sh, power-of-2 width). Exact heights
+    make the H dimension answerable with ONE lookup per bin (the bin height
+    indexes the level directly), so a pooling window needs only TWO corner
+    gathers (the doubling-W pair) instead of four — halving the gather and
+    backward-scatter row counts, which dominate the stage-1 step. Build cost
+    is sh + sh*(lw-1) shifted maxes (T[s] = max(T[s-1][h], T[s-1][h+1]) —
+    each exact level is one shift-by-1 max over the previous)."""
+    h, w, c = feat.shape
+    blocks = []
+    row = feat
+    for s in range(sh):
+        if s > 0:
+            row = _shift_max(row, 1, axis=0)
+        col = row
+        blocks.append(col.reshape(h * w, c))
+        for l in range(1, lw):
+            col = _shift_max(col, 1 << (l - 1), axis=1)
+            blocks.append(col.reshape(h * w, c))
+    return jnp.concatenate(blocks, axis=0)
+
+
 def _bin_bounds(start: jnp.ndarray, size: jnp.ndarray, pooled: int, limit: int):
     """Integer bin boundaries for one spatial dim.
 
@@ -171,6 +197,26 @@ def _bin_corner_indices(boxes, valid, h, w, ph_out, pw_out, lw, spatial_scale):
     hs, he, ws, we = _bin_windows(boxes, valid, h, w, ph_out, pw_out,
                                   spatial_scale)
     return _corners_from_windows(hs, he, ws, we, h, w, lw)
+
+
+def _corners_from_windows2(hs, he, ws, we, h, w, sh, lw):
+    """Window bounds -> 2 flat exact-H/doubling-W table corner indices.
+
+    The exact-height table answers the H extent with the level s = nh
+    directly; only the W extent needs the overlapping power-of-2 pair."""
+    nh = he - hs  # (P, PH)
+    nw = we - ws  # (P, PW)
+    empty = (nh[:, :, None] <= 0) | (nw[:, None, :] <= 0)
+
+    s = jnp.clip(nh, 1, sh) - 1       # exact-height level (P, PH)
+    kw = _floor_log2(nw)              # (P, PW)
+    w1, w2 = ws, jnp.maximum(we - (1 << kw), 0)
+
+    def flat_idx(wb):
+        base = (s[:, :, None] * lw + kw[:, None, :]) * h
+        return (base + hs[:, :, None]) * w + wb[:, None, :]
+
+    return [flat_idx(w1), flat_idx(w2)], empty
 
 
 @partial(jax.jit, static_argnames=("output_size", "spatial_scale", "chunk",
@@ -261,20 +307,45 @@ def roi_pool(
     return jnp.transpose(out, (0, 3, 1, 2))  # (P, C, PH, PW)
 
 
+def _pool_num_corners() -> int:
+    """Corner-decomposition arity for the multi-view pool. 2 (default) uses
+    exact-H x doubling-W tables: the table is ~4x larger (sh*lw vs lh*lw
+    levels) but the gather and backward-scatter row counts — the two
+    dominant stage-1 step costs, both at XLA's row-gather floor — halve.
+    Set SOS_POOL_CORNERS=4 for the smaller doubling-H x doubling-W table
+    (e.g. if HBM is tight at larger batch). Both are exact."""
+    return 4 if os.environ.get("SOS_POOL_CORNERS", "2") == "4" else 2
+
+
+def _build_view_table(feat, ph_out, pw_out, nc):
+    """One view's flat max table + its level geometry, by corner arity."""
+    h, w, _ = feat.shape
+    lw = _num_levels(w // pw_out + 4)
+    if nc == 2:
+        sh = h // ph_out + 4
+        return build_max_table_hexact_flat(feat, sh, lw), sh, lw
+    lh = _num_levels(h // ph_out + 4)
+    return build_max_table_flat(feat, lh, lw), lh, lw
+
+
 def _multi_prep(feats, boxes, valid, spatial_scale, ph_out, pw_out):
-    """Shared fwd/bwd precompute: per-view doubling tables concatenated
-    row-wise + flat corner indices/masks for ALL views' bins."""
+    """Shared fwd/bwd precompute: per-view max tables concatenated row-wise
+    + flat corner indices/masks for ALL views' bins."""
     v = len(feats)
+    nc = _pool_num_corners()
     tables, corner_list, empty_list, dims = [], [], [], []
     off = 0
     for i in range(v):
         h, w, _ = feats[i].shape
-        lh = _num_levels(h // ph_out + 4)
-        lw = _num_levels(w // pw_out + 4)
-        t = build_max_table_flat(feats[i], lh, lw)
-        corners, empty = _bin_corner_indices(
-            boxes[i], valid, h, w, ph_out, pw_out, lw, spatial_scale)
-        corner_list.append(jnp.stack(corners, axis=0) + off)  # (4, P, PH, PW)
+        t, lh, lw = _build_view_table(feats[i], ph_out, pw_out, nc)
+        hs, he, ws, we = _bin_windows(boxes[i], valid, h, w, ph_out, pw_out,
+                                      spatial_scale)
+        if nc == 2:
+            corners, empty = _corners_from_windows2(hs, he, ws, we, h, w,
+                                                    lh, lw)
+        else:
+            corners, empty = _corners_from_windows(hs, he, ws, we, h, w, lw)
+        corner_list.append(jnp.stack(corners, axis=0) + off)  # (nc,P,PH,PW)
         empty_list.append(empty)
         tables.append(t)
         dims.append((h, w, lh, lw, t.shape[0]))
@@ -282,7 +353,7 @@ def _multi_prep(feats, boxes, valid, spatial_scale, ph_out, pw_out):
     t_all = jnp.concatenate(tables, axis=0)
     p = boxes.shape[1]
     nb = v * p * ph_out * pw_out
-    idx = jnp.stack(corner_list, axis=1).reshape(4, nb)    # (4, VB)
+    idx = jnp.stack(corner_list, axis=1).reshape(nc, nb)   # (nc, VB)
     empty = jnp.stack(empty_list, axis=0)                  # (V, P, PH, PW)
     mask = ((~empty) & valid[None, :, None, None]).reshape(nb)
     return t_all, idx, mask, dims
@@ -321,7 +392,8 @@ def _roi_pool_multi_fwd(spatial_scale, output_size, feats, boxes, valid,
             return (jnp.where(take_a, av, bv), jnp.where(take_a, ai, bi))
 
         out_pre, win_i = jax.lax.reduce(
-            (g, iota), (jnp.asarray(-jnp.inf, g.dtype), jnp.int32(4)),
+            (g, iota), (jnp.asarray(-jnp.inf, g.dtype),
+                        jnp.int32(idx.shape[0])),
             _pick, (0,))
     else:  # two-pass fallback (same first-tie semantics), for A/B profiling
         out_pre = jnp.max(g, axis=0)
@@ -370,25 +442,26 @@ def _roi_pool_multi_bwd(spatial_scale, output_size, res, ct):
     # cannot be collapsed to one winner row per bin — each of the 4 corner
     # rows carries the channels that corner won.
     rows = sum(d[4] for d in dims)
+    nc = idx.shape[0]
     if os.environ.get("SOS_POOL_SCATTER", "stacked") == "chained":
-        # experimental: 4 chained scatter-adds whose update operands are
+        # experimental: nc chained scatter-adds whose update operands are
         # where-masked views of ct — if XLA fuses the mask into the scatter
-        # input, the 3.3 GB stacked updates tensor never materializes
+        # input, the stacked updates tensor never materializes
         dt_all = jnp.zeros((rows, c), dtype)
-        for k in range(4):
+        for k in range(nc):
             dt_all = dt_all.at[idx[k]].add(
                 jnp.where(win == k, ct_flat, jnp.asarray(0.0, dtype)))
     else:
         updates = jnp.stack(
             [jnp.where(win == k, ct_flat, jnp.asarray(0.0, dtype))
-             for k in range(4)])
+             for k in range(nc)])
         dt_all = jnp.zeros((rows, c), dtype).at[idx.reshape(-1)].add(
             updates.reshape(-1, c))
     dfeats = []
     off = 0
     for i, (h, w, lh, lw, r) in enumerate(dims):
         _, vjp_fn = jax.vjp(
-            lambda f, lh=lh, lw=lw: build_max_table_flat(f, lh, lw), feats[i])
+            lambda f: _build_view_table(f, ph_out, pw_out, nc)[0], feats[i])
         dfeats.append(vjp_fn(dt_all[off:off + r])[0])
         off += r
     return (tuple(dfeats), None, None, None)
@@ -416,11 +489,15 @@ def roi_pool_multi(
     scatter, and — under plain autodiff — ~60 ms/step of eq-select fusions
     and 3.3 GB relayout copies shuttling the (4, V, P, 7, 7, C) cotangent
     between the consumer's 6-D layout and the scatter's flat row layout.
-    This variant concatenates the per-view doubling tables row-wise, answers
+    This variant concatenates the per-view max tables row-wise, answers
     ALL views' bins with a single take, and hand-writes the VJP so the
-    backward computes its corner updates directly in the flat (4*V*P*49, C)
-    scatter layout — numerically identical to per-view ``roi_pool``
-    (same tables, same corner indices, same split-ties max subgradient).
+    backward computes its corner updates directly in the flat (nc*V*P*49, C)
+    scatter layout. By default the tables are exact-height x doubling-width
+    (nc=2 corners per bin — see ``_pool_num_corners``), halving the gather
+    and scatter row counts vs the doubling-square nc=4 table; outputs are
+    bit-identical either way (gradients differ only in bf16 tie routing,
+    the same subgradient-level freedom the nc=4 path already has vs
+    torchvision).
 
     Args:
         feats: sequence of V (H_i, W_i, C) feature maps (channels-last);

@@ -39,10 +39,12 @@ def do_test(cfg, model, params):
     from collections import OrderedDict
 
     from sos_wsod_tpu.data.build import build_stage1_test_loader
+    from sos_wsod_tpu.data.datasets.builtin_extra import register_all_extra
     from sos_wsod_tpu.data.datasets.voc import register_all_voc
     from sos_wsod_tpu.evaluation.voc_eval import PascalVOCDetectionEvaluator
 
     register_all_voc()
+    register_all_extra()
     results = OrderedDict()
     for name in cfg.DATASETS.TEST:
         loader = build_stage1_test_loader(cfg, name)
@@ -65,6 +67,7 @@ def main(args):
     import jax
 
     from sos_wsod_tpu.data.build import build_stage1_train_loader
+    from sos_wsod_tpu.data.datasets.builtin_extra import register_all_extra
     from sos_wsod_tpu.data.datasets.voc import register_all_voc
     from sos_wsod_tpu.engine.checkpoint import Checkpointer, PeriodicCheckpointer
     from sos_wsod_tpu.engine.hooks import (
@@ -82,6 +85,7 @@ def main(args):
 
     cfg = setup(args)
     register_all_voc()
+    register_all_extra()
 
     if cfg.MODEL.META_ARCHITECTURE == "MultiInputRCNN":
         model = MultiInputRCNN.from_cfg(cfg)

@@ -36,11 +36,13 @@ def do_test(cfg, model, params):
     import jax.numpy as jnp
 
     from sos_wsod_tpu.data.build import build_stage1_test_loader
+    from sos_wsod_tpu.data.datasets.builtin_extra import register_all_extra
     from sos_wsod_tpu.data.datasets.voc import register_all_voc
     from sos_wsod_tpu.evaluation.voc_eval import PascalVOCDetectionEvaluator
     from sos_wsod_tpu.models.postprocess import rescale_detections
 
     register_all_voc()
+    register_all_extra()
     results = OrderedDict()
 
     @jax.jit
@@ -72,6 +74,7 @@ def do_test(cfg, model, params):
 def main(args):
     import jax
 
+    from sos_wsod_tpu.data.datasets.builtin_extra import register_all_extra
     from sos_wsod_tpu.data.datasets.voc import register_all_voc
     from sos_wsod_tpu.data.mapper_twocrop import build_semisup_loader_from_cfg
     from sos_wsod_tpu.engine.checkpoint import Checkpointer, PeriodicCheckpointer
@@ -90,6 +93,7 @@ def main(args):
 
     cfg = setup(args)
     register_all_voc()
+    register_all_extra()
 
     model = GeneralizedRCNN.from_cfg(cfg)
     checkpointer = Checkpointer(cfg.OUTPUT_DIR)
