@@ -25,18 +25,33 @@ class OICRBranch(nn.Module):
     has_reg: bool = True
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        from .wsddn import LinearParams
+
+        self.cls_score = LinearParams(self.num_classes + 1,
+                                      nn.initializers.normal(0.01))
+        if self.has_reg:
+            self.bbox_pred = LinearParams(self.num_classes * 4,
+                                          nn.initializers.normal(0.001))
+
+    def parts(self, in_features: int):
+        """(kernel, bias) pairs for cross-branch matmul packing."""
+        ps = [self.cls_score(in_features)]
+        if self.has_reg:
+            ps.append(self.bbox_pred(in_features))
+        return ps
+
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """x: (P, F) -> (scores (P, K+1), deltas (P, K*4))."""
-        scores = nn.Dense(self.num_classes + 1, dtype=self.dtype,
-                          kernel_init=nn.initializers.normal(0.01),
-                          bias_init=nn.initializers.zeros, name="cls_score")(x)
+        from .wsddn import packed_linear
+
+        outs = packed_linear(x, self.parts(x.shape[-1]), self.dtype)
+        scores = outs[0]
         if self.has_reg:
-            deltas = nn.Dense(self.num_classes * 4, dtype=self.dtype,
-                              kernel_init=nn.initializers.normal(0.001),
-                              bias_init=nn.initializers.zeros, name="bbox_pred")(x)
+            deltas = outs[1]
         else:
-            deltas = jnp.zeros((x.shape[0], self.num_classes * 4), dtype=self.dtype)
+            deltas = jnp.zeros((x.shape[0], self.num_classes * 4),
+                               dtype=self.dtype)
         return scores, deltas
 
 

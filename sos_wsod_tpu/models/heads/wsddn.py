@@ -13,25 +13,65 @@ proposals.
 """
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, Callable, List, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
+
+
+class LinearParams(nn.Module):
+    """Declares a Dense layer's (kernel, bias) WITHOUT applying it.
+
+    The WSOD output heads are many small-N Linears (N = 21/84) over the same
+    (V*P, 4096) features; each pads its N to the 128-lane MXU tile, so ten
+    separate matmuls waste most of the array. Consumers collect several
+    heads' params and run ONE packed matmul (``packed_linear``). The
+    parameter tree is identical to ``nn.Dense(name=...)`` — kernel/bias under
+    the module scope — so checkpoints and torch-weight import are unaffected.
+    """
+
+    features: int
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, in_features: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        k = self.param("kernel", self.kernel_init,
+                       (in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
+def packed_linear(x: jnp.ndarray, parts: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
+                  dtype: Any) -> List[jnp.ndarray]:
+    """ONE matmul for several Dense heads: x @ concat(kernels) + concat(bias),
+    split back into per-head outputs. Matches nn.Dense(dtype=...) compute
+    semantics (inputs/params cast to ``dtype``, f32 params kept as master)."""
+    kk = jnp.concatenate([k.astype(dtype) for k, _ in parts], axis=1)
+    bb = jnp.concatenate([b.astype(dtype) for _, b in parts], axis=0)
+    y = x.astype(dtype) @ kk + bb
+    outs, off = [], 0
+    for k, _ in parts:
+        outs.append(y[:, off:off + k.shape[1]])
+        off += k.shape[1]
+    return outs
 
 
 class WSDDNHead(nn.Module):
     num_classes: int
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.cls = LinearParams(self.num_classes,
+                                nn.initializers.xavier_uniform())
+        self.det = LinearParams(self.num_classes,
+                                nn.initializers.xavier_uniform())
+
+    def parts(self, in_features: int):
+        return [self.cls(in_features), self.det(in_features)]
+
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """x: (P, F) -> raw (C, D) logits, each (P, K)."""
-        c = nn.Dense(self.num_classes, dtype=self.dtype,
-                     kernel_init=nn.initializers.xavier_uniform(),
-                     bias_init=nn.initializers.zeros, name="cls")(x)
-        d = nn.Dense(self.num_classes, dtype=self.dtype,
-                     kernel_init=nn.initializers.xavier_uniform(),
-                     bias_init=nn.initializers.zeros, name="det")(x)
+        c, d = packed_linear(x, self.parts(x.shape[-1]), self.dtype)
         return c, d
 
 

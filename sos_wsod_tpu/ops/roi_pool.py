@@ -328,16 +328,30 @@ def _build_view_table(feat, ph_out, pw_out, nc):
     return build_max_table_flat(feat, lh, lw), lh, lw
 
 
-def _multi_prep(feats, boxes, valid, spatial_scale, ph_out, pw_out):
-    """Shared fwd/bwd precompute: per-view max tables concatenated row-wise
-    + flat corner indices/masks for ALL views' bins."""
+def _view_geometry(shape, ph_out, pw_out, nc):
+    """Static per-view table geometry: (h, w, lh, lw, rows)."""
+    h, w, _ = shape
+    lw = _num_levels(w // pw_out + 4)
+    lh = (h // ph_out + 4) if nc == 2 else _num_levels(h // ph_out + 4)
+    return h, w, lh, lw, lh * lw * h * w
+
+
+def _multi_prep(feats, boxes, valid, spatial_scale, ph_out, pw_out,
+                build=True):
+    """Shared fwd/bwd precompute, kept PER VIEW: max tables (optional — the
+    backward reuses the forward's tables as residuals instead of rebuilding),
+    plus per-view corner indices and validity masks. Concatenating the four
+    views' tables into one buffer was measured at ~12 ms/step of pure copy
+    (concatenate.393), so views stay separate and get one gather/scatter
+    each."""
     v = len(feats)
     nc = _pool_num_corners()
-    tables, corner_list, empty_list, dims = [], [], [], []
-    off = 0
+    tables, idxs, masks, dims = [], [], [], []
     for i in range(v):
-        h, w, _ = feats[i].shape
-        t, lh, lw = _build_view_table(feats[i], ph_out, pw_out, nc)
+        h, w, lh, lw, rows = _view_geometry(feats[i].shape, ph_out, pw_out,
+                                            nc)
+        t = _build_view_table(feats[i], ph_out, pw_out, nc)[0] if build \
+            else None
         hs, he, ws, we = _bin_windows(boxes[i], valid, h, w, ph_out, pw_out,
                                       spatial_scale)
         if nc == 2:
@@ -345,18 +359,51 @@ def _multi_prep(feats, boxes, valid, spatial_scale, ph_out, pw_out):
                                                     lh, lw)
         else:
             corners, empty = _corners_from_windows(hs, he, ws, we, h, w, lw)
-        corner_list.append(jnp.stack(corners, axis=0) + off)  # (nc,P,PH,PW)
-        empty_list.append(empty)
+        idxs.append(jnp.stack(corners, axis=0).reshape(nc, -1))  # (nc, B_i)
+        masks.append(((~empty) & valid[:, None, None]).reshape(-1))
         tables.append(t)
-        dims.append((h, w, lh, lw, t.shape[0]))
-        off += t.shape[0]
-    t_all = jnp.concatenate(tables, axis=0)
-    p = boxes.shape[1]
-    nb = v * p * ph_out * pw_out
-    idx = jnp.stack(corner_list, axis=1).reshape(nc, nb)   # (nc, VB)
-    empty = jnp.stack(empty_list, axis=0)                  # (V, P, PH, PW)
-    mask = ((~empty) & valid[None, :, None, None]).reshape(nb)
-    return t_all, idx, mask, dims
+        dims.append((h, w, lh, lw, rows))
+    return tables, idxs, masks, dims
+
+
+def _hexact_chain_bwd(t_flat, dt_flat, h, w, sh, lw):
+    """Backward of ``build_max_table_hexact_flat`` written against the
+    forward-built table (no rebuild: the table is a custom-vjp residual).
+
+    Routes each block's cotangent down the exact-height / doubling-width
+    chain with eq-selects against the stored parent blocks. Ties route to
+    the earlier (unshifted) operand — the same subgradient-level freedom the
+    corner-winner routing already exercises (jnp.maximum autodiff would
+    split ties evenly; for continuous activations both coincide)."""
+    c = t_flat.shape[-1]
+    T = t_flat.reshape(sh, lw, h, w, c)
+    dT = dt_flat.reshape(sh, lw, h, w, c)
+    neg = jnp.asarray(_NEG, t_flat.dtype)
+    zero = jnp.asarray(0.0, dt_flat.dtype)
+    drow = None
+    for s in range(sh - 1, -1, -1):
+        g = dT[s, lw - 1]
+        for l in range(lw - 1, 0, -1):
+            d = 1 << (l - 1)
+            a = T[s, l - 1]
+            # forward: T[s,l] = max(a, shift_w(a, d)); route g to the winner
+            b = jnp.concatenate(
+                [a[:, d:], jnp.full((h, d, c), neg, a.dtype)], axis=1)
+            keep = a >= b
+            to_b = jnp.where(keep, zero, g)
+            g = dT[s, l - 1] + jnp.where(keep, g, zero)
+            g = g + jnp.pad(to_b[:, : w - d], ((0, 0), (d, 0), (0, 0)))
+        cur = g if drow is None else g + drow
+        if s == 0:
+            return cur
+        a = T[s - 1, 0]
+        b = jnp.concatenate(
+            [a[1:], jnp.full((1, w, c), neg, a.dtype)], axis=0)
+        keep = a >= b
+        to_b = jnp.where(keep, zero, cur)
+        drow = jnp.where(keep, cur, zero) + jnp.pad(
+            to_b[: h - 1], ((1, 0), (0, 0), (0, 0)))
+    return drow  # unreachable (sh >= 1)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
@@ -372,17 +419,22 @@ def _roi_pool_multi_fwd(spatial_scale, output_size, feats, boxes, valid,
     ph_out, pw_out = output_size
     v, p = boxes.shape[0], boxes.shape[1]
     c = feats[0].shape[-1]
-    t_all, idx, mask, _ = _multi_prep(feats, boxes, valid, spatial_scale,
-                                      ph_out, pw_out)
+    tables, idxs, masks, _ = _multi_prep(feats, boxes, valid, spatial_scale,
+                                         ph_out, pw_out)
     # NOTE (measured dead end): bit-packing bf16 channel pairs as f32 to
     # halve the gather's lane-tile traffic is exact (bitcast round-trip) but
     # measured 143 ms vs 71 ms fwd at production shapes — the pre/post
     # bitcast relayouts cost more than the tile halving saves.
-    g = jnp.take(t_all, idx, axis=0)               # (4, VB, C) flat rows
-    if os.environ.get("SOS_POOL_VARIADIC", "1") == "1":
+    if row_scale is not None:
+        scale = jnp.broadcast_to(
+            row_scale.astype(feats[0].dtype)[:, None],
+            (p, ph_out * pw_out)).reshape(-1)
+    outs, wins = [], []
+    for i in range(v):
+        g = jnp.take(tables[i], idxs[i], axis=0)   # (nc, B_i, C) flat rows
         # ONE variadic reduce produces max and first-winning-corner
-        # together: separate jnp.max + jnp.argmax stream the 3.3 GB gather
-        # output through HBM twice (~31 ms/step at production shapes).
+        # together: separate jnp.max + jnp.argmax stream the gather output
+        # through HBM twice (~31 ms/step at production shapes).
         iota = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0)
 
         def _pick(a, b):
@@ -393,77 +445,63 @@ def _roi_pool_multi_fwd(spatial_scale, output_size, feats, boxes, valid,
 
         out_pre, win_i = jax.lax.reduce(
             (g, iota), (jnp.asarray(-jnp.inf, g.dtype),
-                        jnp.int32(idx.shape[0])),
+                        jnp.int32(idxs[i].shape[0])),
             _pick, (0,))
-    else:  # two-pass fallback (same first-tie semantics), for A/B profiling
-        out_pre = jnp.max(g, axis=0)
-        win_i = jnp.argmax(g, axis=0)
-    # winner-corner residual: index of the FIRST corner attaining the max,
-    # stored as bf16 (8-bit tensors hit Mosaic's emulated int8 path). 4x
-    # smaller than keeping g (822 MB vs 3.3 GB at production shapes) — the
-    # full-g residual variant OOMs 16 GB HBM alongside the DAN activations.
-    # Routing the cotangent to the first tied corner (vs jnp.max's even
-    # split) is a subgradient-level choice only: corners overlap, so ties
-    # are overwhelmingly the SAME feature cell seen through two blocks, and
-    # the table build's VJP sums both routes back to that one cell — the
-    # feature gradient is identical whenever tied corners share their max
-    # cell (always, for continuous-valued features).
-    win = win_i.astype(feats[0].dtype)
-    if row_scale is not None:
-        scale = jnp.broadcast_to(
-            row_scale.astype(out_pre.dtype)[None, :, None],
-            (v, p, ph_out * pw_out)).reshape(-1)
-        out = out_pre * scale[:, None]
-    else:
-        out = out_pre
-    out = jnp.where(mask[:, None], out, 0.0).astype(feats[0].dtype)
-    out = out.reshape(v, p, ph_out, pw_out, c)
-    return out, (win, feats, boxes, valid, row_scale)
+        # winner-corner residual: index of the FIRST corner attaining the
+        # max, stored as bf16 (8-bit tensors hit Mosaic's emulated int8
+        # path); nc-x smaller than keeping g (822 MB vs 3.3 GB at production
+        # shapes) — the full-g residual variant OOMs 16 GB HBM alongside the
+        # DAN activations. Routing the cotangent to the first tied corner
+        # (vs jnp.max's even split) is a subgradient-level choice only:
+        # corners overlap, so ties are overwhelmingly the SAME feature cell
+        # seen through two blocks, and the table chain backward sums both
+        # routes back to that one cell.
+        wins.append(win_i.astype(feats[0].dtype))
+        out = out_pre if row_scale is None else out_pre * scale[:, None]
+        outs.append(
+            jnp.where(masks[i][:, None], out, 0.0).astype(feats[0].dtype))
+    out = jnp.concatenate(outs, axis=0).reshape(v, p, ph_out, pw_out, c)
+    return out, (tuple(wins), tuple(tables), feats, boxes, valid, row_scale)
 
 
 def _roi_pool_multi_bwd(spatial_scale, output_size, res, ct):
     ph_out, pw_out = output_size
-    win, feats, boxes, valid, row_scale = res
+    wins, tables, feats, boxes, valid, row_scale = res
     v, p = boxes.shape[0], boxes.shape[1]
     c = feats[0].shape[-1]
     dtype = feats[0].dtype
-    _, idx, mask, dims = _multi_prep(feats, boxes, valid, spatial_scale,
-                                     ph_out, pw_out)
-    ct_flat = ct.reshape(-1, c).astype(dtype)      # (VB, C)
+    nc = _pool_num_corners()
+    # indices/masks only — tables come from the forward's residuals
+    _, idxs, masks, dims = _multi_prep(feats, boxes, valid, spatial_scale,
+                                       ph_out, pw_out, build=False)
+    ct_v = ct.reshape(v, -1, c).astype(dtype)      # (V, B, C)
     if row_scale is not None:
         scale = jnp.broadcast_to(
-            row_scale.astype(dtype)[None, :, None],
-            (v, p, ph_out * pw_out)).reshape(-1)
-        ct_flat = ct_flat * scale[:, None]
-    ct_flat = jnp.where(mask[:, None], ct_flat, 0.0)
-    # route the whole cotangent to the first tied corner (see fwd comment),
-    # computed directly in the scatter's flat (4*VB, C) row layout. NOTE the
-    # winner corner is PER-CHANNEL (max is per-channel), so the scatter
-    # cannot be collapsed to one winner row per bin — each of the 4 corner
-    # rows carries the channels that corner won.
-    rows = sum(d[4] for d in dims)
-    nc = idx.shape[0]
-    if os.environ.get("SOS_POOL_SCATTER", "stacked") == "chained":
-        # experimental: nc chained scatter-adds whose update operands are
-        # where-masked views of ct — if XLA fuses the mask into the scatter
-        # input, the stacked updates tensor never materializes
-        dt_all = jnp.zeros((rows, c), dtype)
-        for k in range(nc):
-            dt_all = dt_all.at[idx[k]].add(
-                jnp.where(win == k, ct_flat, jnp.asarray(0.0, dtype)))
-    else:
-        updates = jnp.stack(
-            [jnp.where(win == k, ct_flat, jnp.asarray(0.0, dtype))
-             for k in range(nc)])
-        dt_all = jnp.zeros((rows, c), dtype).at[idx.reshape(-1)].add(
-            updates.reshape(-1, c))
+            row_scale.astype(dtype)[:, None],
+            (p, ph_out * pw_out)).reshape(-1)
     dfeats = []
-    off = 0
-    for i, (h, w, lh, lw, r) in enumerate(dims):
-        _, vjp_fn = jax.vjp(
-            lambda f: _build_view_table(f, ph_out, pw_out, nc)[0], feats[i])
-        dfeats.append(vjp_fn(dt_all[off:off + r])[0])
-        off += r
+    for i, (h, w, lh, lw, rows) in enumerate(dims):
+        ct_i = ct_v[i]
+        if row_scale is not None:
+            ct_i = ct_i * scale[:, None]
+        ct_i = jnp.where(masks[i][:, None], ct_i, 0.0)
+        # route the whole cotangent to the first tied corner (see fwd
+        # comment), computed directly in the scatter's flat (nc*B, C) row
+        # layout. NOTE the winner corner is PER-CHANNEL (max is
+        # per-channel), so the scatter cannot be collapsed to one winner row
+        # per bin — each corner row carries the channels that corner won.
+        updates = jnp.stack(
+            [jnp.where(wins[i] == k, ct_i, jnp.asarray(0.0, dtype))
+             for k in range(nc)])
+        dt = jnp.zeros((rows, c), dtype).at[idxs[i].reshape(-1)].add(
+            updates.reshape(-1, c))
+        if nc == 2:
+            dfeats.append(_hexact_chain_bwd(tables[i], dt, h, w, lh, lw))
+        else:  # doubling-square table: autodiff chain (rebuilds CSE with fwd)
+            _, vjp_fn = jax.vjp(
+                lambda f: _build_view_table(f, ph_out, pw_out, nc)[0],
+                feats[i])
+            dfeats.append(vjp_fn(dt)[0])
     return (tuple(dfeats), None, None, None)
 
 
