@@ -308,35 +308,39 @@ def roi_pool(
 
 
 def _pool_num_corners() -> int:
-    """Corner-decomposition arity for the multi-view pool. 2 (default) uses
-    exact-H x doubling-W tables: the table is ~4x larger (sh*lw vs lh*lw
-    levels) but the gather and backward-scatter row counts — the two
-    dominant stage-1 step costs, both at XLA's row-gather floor — halve.
-    Set SOS_POOL_CORNERS=4 for the smaller doubling-H x doubling-W table
-    (e.g. if HBM is tight at larger batch). Both are exact."""
-    return 4 if os.environ.get("SOS_POOL_CORNERS", "2") == "4" else 2
-
-
-def _build_view_table(feat, ph_out, pw_out, nc):
-    """One view's flat max table + its level geometry, by corner arity."""
-    h, w, _ = feat.shape
-    lw = _num_levels(w // pw_out + 4)
-    if nc == 2:
-        sh = h // ph_out + 4
-        return build_max_table_hexact_flat(feat, sh, lw), sh, lw
-    lh = _num_levels(h // ph_out + 4)
-    return build_max_table_flat(feat, lh, lw), lh, lw
+    """Default corner-decomposition arity for the multi-view pool, from
+    SOS_POOL_CORNERS. 4 (default) uses doubling-H x doubling-W tables
+    (~5x~8 levels); 2 uses exact-H x doubling-W tables whose gather and
+    backward-scatter row counts halve, but whose build/backward walk ~16
+    exact-height levels instead of ~5 — measured end-to-end on v5e the
+    bigger table build costs more than the halved gather rows save
+    (r4 A/B: 2.29 img/s nc=4 vs 2.22 nc=2 full train step), so 4 is the
+    default. Both are exact in the forward."""
+    return 2 if os.environ.get("SOS_POOL_CORNERS", "4") == "2" else 4
 
 
 def _view_geometry(shape, ph_out, pw_out, nc):
-    """Static per-view table geometry: (h, w, lh, lw, rows)."""
+    """Static per-view table geometry: (h, w, lh, lw, rows). Single source
+    for the build, the corner indexing, and the backward's buffer sizes
+    (lh is the EXACT height-level count for nc=2, the doubling count for
+    nc=4)."""
     h, w, _ = shape
     lw = _num_levels(w // pw_out + 4)
     lh = (h // ph_out + 4) if nc == 2 else _num_levels(h // ph_out + 4)
     return h, w, lh, lw, lh * lw * h * w
 
 
-def _multi_prep(feats, boxes, valid, spatial_scale, ph_out, pw_out,
+def _build_view_table(feat, ph_out, pw_out, nc):
+    """One view's flat max table + its level geometry, by corner arity.
+    Geometry comes from ``_view_geometry`` (single-sourced with the
+    backward's scatter-buffer sizing)."""
+    h, w, lh, lw, _ = _view_geometry(feat.shape, ph_out, pw_out, nc)
+    if nc == 2:
+        return build_max_table_hexact_flat(feat, lh, lw), lh, lw
+    return build_max_table_flat(feat, lh, lw), lh, lw
+
+
+def _multi_prep(feats, boxes, valid, spatial_scale, ph_out, pw_out, nc,
                 build=True):
     """Shared fwd/bwd precompute, kept PER VIEW: max tables (optional — the
     backward reuses the forward's tables as residuals instead of rebuilding),
@@ -345,7 +349,6 @@ def _multi_prep(feats, boxes, valid, spatial_scale, ph_out, pw_out,
     (concatenate.393), so views stay separate and get one gather/scatter
     each."""
     v = len(feats)
-    nc = _pool_num_corners()
     tables, idxs, masks, dims = [], [], [], []
     for i in range(v):
         h, w, lh, lw, rows = _view_geometry(feats[i].shape, ph_out, pw_out,
@@ -366,26 +369,34 @@ def _multi_prep(feats, boxes, valid, spatial_scale, ph_out, pw_out,
     return tables, idxs, masks, dims
 
 
-def _hexact_chain_bwd(t_flat, dt_flat, h, w, sh, lw):
-    """Backward of ``build_max_table_hexact_flat`` written against the
-    forward-built table (no rebuild: the table is a custom-vjp residual).
+def _table_chain_bwd(t_flat, dt_flat, h, w, lh, lw, nc):
+    """Backward of the flat table build (both arities) written against the
+    forward-built table (no rebuild: the table is a custom-vjp residual —
+    the nc=4 jax.vjp fallback used to re-run the whole lh*lw shift-max
+    build inside the backward).
 
-    Routes each block's cotangent down the exact-height / doubling-width
-    chain with eq-selects against the stored parent blocks. Ties route to
-    the earlier (unshifted) operand — the same subgradient-level freedom the
-    corner-winner routing already exercises (jnp.maximum autodiff would
-    split ties evenly; for continuous activations both coincide)."""
+    Routes each block's cotangent down the height/width chains with
+    eq-selects against the stored parent blocks. Height chain: exact levels
+    shift by 1 (nc=2, build_max_table_hexact_flat) or doubling levels shift
+    by 2^(s-1) (nc=4, build_max_table_flat); the width chain is the
+    doubling chain in both. Ties route to the earlier (unshifted) operand —
+    the same subgradient-level freedom the corner-winner routing already
+    exercises (jnp.maximum autodiff would split ties evenly; for continuous
+    activations both coincide)."""
     c = t_flat.shape[-1]
-    T = t_flat.reshape(sh, lw, h, w, c)
-    dT = dt_flat.reshape(sh, lw, h, w, c)
+    T = t_flat.reshape(lh, lw, h, w, c)
+    dT = dt_flat.reshape(lh, lw, h, w, c)
     neg = jnp.asarray(_NEG, t_flat.dtype)
     zero = jnp.asarray(0.0, dt_flat.dtype)
     drow = None
-    for s in range(sh - 1, -1, -1):
+    for s in range(lh - 1, -1, -1):
         g = dT[s, lw - 1]
         for l in range(lw - 1, 0, -1):
             d = 1 << (l - 1)
             a = T[s, l - 1]
+            if d >= w:  # build's _shift_max is identity past the extent
+                g = dT[s, l - 1] + g
+                continue
             # forward: T[s,l] = max(a, shift_w(a, d)); route g to the winner
             b = jnp.concatenate(
                 [a[:, d:], jnp.full((h, d, c), neg, a.dtype)], axis=1)
@@ -396,31 +407,35 @@ def _hexact_chain_bwd(t_flat, dt_flat, h, w, sh, lw):
         cur = g if drow is None else g + drow
         if s == 0:
             return cur
+        dh = 1 if nc == 2 else (1 << (s - 1))
+        if dh >= h:
+            drow = cur
+            continue
         a = T[s - 1, 0]
         b = jnp.concatenate(
-            [a[1:], jnp.full((1, w, c), neg, a.dtype)], axis=0)
+            [a[dh:], jnp.full((dh, w, c), neg, a.dtype)], axis=0)
         keep = a >= b
         to_b = jnp.where(keep, zero, cur)
         drow = jnp.where(keep, cur, zero) + jnp.pad(
-            to_b[: h - 1], ((1, 0), (0, 0), (0, 0)))
-    return drow  # unreachable (sh >= 1)
+            to_b[: h - dh], ((dh, 0), (0, 0), (0, 0)))
+    return drow  # unreachable (lh >= 1)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _roi_pool_multi(spatial_scale, output_size, feats, boxes, valid,
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _roi_pool_multi(spatial_scale, output_size, nc, feats, boxes, valid,
                     row_scale):
-    out, _ = _roi_pool_multi_fwd(spatial_scale, output_size, feats, boxes,
-                                 valid, row_scale)
+    out, _ = _roi_pool_multi_fwd(spatial_scale, output_size, nc, feats,
+                                 boxes, valid, row_scale)
     return out
 
 
-def _roi_pool_multi_fwd(spatial_scale, output_size, feats, boxes, valid,
+def _roi_pool_multi_fwd(spatial_scale, output_size, nc, feats, boxes, valid,
                         row_scale):
     ph_out, pw_out = output_size
     v, p = boxes.shape[0], boxes.shape[1]
     c = feats[0].shape[-1]
     tables, idxs, masks, _ = _multi_prep(feats, boxes, valid, spatial_scale,
-                                         ph_out, pw_out)
+                                         ph_out, pw_out, nc)
     # NOTE (measured dead end): bit-packing bf16 channel pairs as f32 to
     # halve the gather's lane-tile traffic is exact (bitcast round-trip) but
     # measured 143 ms vs 71 ms fwd at production shapes — the pre/post
@@ -464,16 +479,15 @@ def _roi_pool_multi_fwd(spatial_scale, output_size, feats, boxes, valid,
     return out, (tuple(wins), tuple(tables), feats, boxes, valid, row_scale)
 
 
-def _roi_pool_multi_bwd(spatial_scale, output_size, res, ct):
+def _roi_pool_multi_bwd(spatial_scale, output_size, nc, res, ct):
     ph_out, pw_out = output_size
     wins, tables, feats, boxes, valid, row_scale = res
     v, p = boxes.shape[0], boxes.shape[1]
     c = feats[0].shape[-1]
     dtype = feats[0].dtype
-    nc = _pool_num_corners()
     # indices/masks only — tables come from the forward's residuals
     _, idxs, masks, dims = _multi_prep(feats, boxes, valid, spatial_scale,
-                                       ph_out, pw_out, build=False)
+                                       ph_out, pw_out, nc, build=False)
     ct_v = ct.reshape(v, -1, c).astype(dtype)      # (V, B, C)
     if row_scale is not None:
         scale = jnp.broadcast_to(
@@ -495,13 +509,16 @@ def _roi_pool_multi_bwd(spatial_scale, output_size, res, ct):
              for k in range(nc)])
         dt = jnp.zeros((rows, c), dtype).at[idxs[i].reshape(-1)].add(
             updates.reshape(-1, c))
-        if nc == 2:
-            dfeats.append(_hexact_chain_bwd(tables[i], dt, h, w, lh, lw))
-        else:  # doubling-square table: autodiff chain (rebuilds CSE with fwd)
+        if os.environ.get("SOS_POOL_BWD", "chain") == "rebuild":
+            # A/B alternative: autodiff of the table build (re-runs the
+            # lh*lw shift-max chain inside the backward instead of routing
+            # against the stored forward tables)
             _, vjp_fn = jax.vjp(
                 lambda f: _build_view_table(f, ph_out, pw_out, nc)[0],
                 feats[i])
             dfeats.append(vjp_fn(dt)[0])
+        else:
+            dfeats.append(_table_chain_bwd(tables[i], dt, h, w, lh, lw, nc))
     return (tuple(dfeats), None, None, None)
 
 
@@ -509,7 +526,7 @@ _roi_pool_multi.defvjp(_roi_pool_multi_fwd, _roi_pool_multi_bwd)
 
 
 @partial(jax.jit, static_argnames=("spatial_scale", "output_size",
-                                   "channels_last"))
+                                   "channels_last", "num_corners"))
 def roi_pool_multi(
     feats,
     boxes: jnp.ndarray,
@@ -519,6 +536,7 @@ def roi_pool_multi(
     spatial_scale: float,
     output_size: Tuple[int, int] = (7, 7),
     channels_last: bool = True,
+    num_corners: int = 0,
 ):
     """ROI max pool over V synchronized views in ONE gather/scatter pair.
 
@@ -527,15 +545,19 @@ def roi_pool_multi(
     scatter, and — under plain autodiff — ~60 ms/step of eq-select fusions
     and 3.3 GB relayout copies shuttling the (4, V, P, 7, 7, C) cotangent
     between the consumer's 6-D layout and the scatter's flat row layout.
-    This variant concatenates the per-view max tables row-wise, answers
-    ALL views' bins with a single take, and hand-writes the VJP so the
-    backward computes its corner updates directly in the flat (nc*V*P*49, C)
-    scatter layout. By default the tables are exact-height x doubling-width
-    (nc=2 corners per bin — see ``_pool_num_corners``), halving the gather
-    and scatter row counts vs the doubling-square nc=4 table; outputs are
+    This variant answers each view's bins with one take over its flat max
+    table and hand-writes the VJP so the backward computes its corner
+    updates directly in the flat (nc*V*P*49, C) scatter layout and routes
+    them down the table chain against the STORED forward tables (no
+    rebuild). ``num_corners`` picks the table family: 4 (default, see
+    ``_pool_num_corners``) = doubling-H x doubling-W; 2 = exact-H x
+    doubling-W, which halves the gather/scatter row counts but walks ~3x
+    more height levels in build/backward (measured slower end-to-end on
+    v5e at stage-1 shapes — see BASELINE.md r4 A/B). Outputs are
     bit-identical either way (gradients differ only in bf16 tie routing,
-    the same subgradient-level freedom the nc=4 path already has vs
-    torchvision).
+    the same subgradient-level freedom both paths already have vs
+    torchvision). Pass num_corners=0 to use the SOS_POOL_CORNERS env
+    default.
 
     Args:
         feats: sequence of V (H_i, W_i, C) feature maps (channels-last);
@@ -548,8 +570,10 @@ def roi_pool_multi(
         (V, P, PH, PW, C) pooled features, or (V, P, C, PH, PW) when
         ``channels_last=False``.
     """
-    out = _roi_pool_multi(spatial_scale, output_size, tuple(feats), boxes,
-                          valid, row_scale)
+    nc = num_corners or _pool_num_corners()
+    assert nc in (2, 4), nc
+    out = _roi_pool_multi(spatial_scale, output_size, nc, tuple(feats),
+                          boxes, valid, row_scale)
     if channels_last:
         return out
     return jnp.transpose(out, (0, 1, 4, 2, 3))

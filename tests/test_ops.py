@@ -189,8 +189,10 @@ def test_roi_pool_gradient_flows():
     assert np.asarray(g).sum() > 0
 
 
-def test_roi_pool_multi_matches_per_view():
-    """roi_pool_multi (fused 4-view gather) == per-view roi_pool, fwd + grad."""
+@pytest.mark.parametrize("num_corners", [2, 4])
+def test_roi_pool_multi_matches_per_view(num_corners):
+    """roi_pool_multi (fused 4-view gather) == per-view roi_pool, fwd + grad,
+    under both table families (exact-H nc=2 and doubling-H nc=4)."""
     import jax
     from sos_wsod_tpu.ops.roi_pool import roi_pool_multi
 
@@ -207,7 +209,7 @@ def test_roi_pool_multi_matches_per_view():
     def multi(fs):
         return roi_pool_multi(fs, jnp.asarray(boxes), jnp.asarray(valid),
                               jnp.asarray(rs), spatial_scale=scale,
-                              output_size=(7, 7))
+                              output_size=(7, 7), num_corners=num_corners)
 
     def per_view(fs):
         return jnp.stack([

@@ -3,8 +3,14 @@
 The stage-1 pool forward gathers ~1.6M random (1, 512) bf16 rows (1 KB each)
 from a ~3 GB HBM table; XLA's gather measures ~14 ns/row (~71 GB/s). This
 checks whether a Pallas kernel issuing many outstanding row DMAs per grid
-step can beat that floor. Timing uses the chained/donated pattern from
-.claude/skills/verify/SKILL.md (single readback sync at the end).
+step can beat that floor. Timing: a dispatch loop re-invoking the jitted
+gather on the same (undonated) operands, synchronized once by a final
+device_get readback — the only trustworthy sync through the axon tunnel
+(block_until_ready can return early). There is no donation or
+output-to-input chaining here; the gather reads the same table every
+iteration by design. NOTE: the SOS_POOL_VARIADIC / SOS_POOL_SCATTER A/B env
+knobs mentioned in earlier rounds' notes were removed when the variadic
+single-pass reduce became the only forward; setting them is a no-op.
 """
 from __future__ import annotations
 

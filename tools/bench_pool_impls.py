@@ -55,6 +55,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--p", type=int, default=4096)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--corners", type=int, default=0, choices=(0, 2, 4),
+                    help="table family: 4 doubling-H, 2 exact-H, 0 env default")
     ap.add_argument("--only", default="",
                     help="comma-separated subset: table_fwd,table_fwd+bwd")
     args = ap.parse_args()
@@ -72,15 +74,18 @@ def main():
     rs = jnp.asarray(rng.uniform(1, 2, p), jnp.float32)
     ct = jnp.asarray(rng.randn(4, p, 7, 7, c), jnp.bfloat16)
 
+    nc = args.corners
+
     @jax.jit
     def table_fwd(fs):
-        return roi_pool_multi(fs, boxes, valid, rs, spatial_scale=0.125)
+        return roi_pool_multi(fs, boxes, valid, rs, spatial_scale=0.125,
+                              num_corners=nc)
 
     @jax.jit
     def table_fb(fs):
         out, vjp = jax.vjp(
             lambda f: roi_pool_multi(f, boxes, valid, rs,
-                                     spatial_scale=0.125), fs)
+                                     spatial_scale=0.125, num_corners=nc), fs)
         return vjp(ct.astype(out.dtype))
 
     only = set(filter(None, args.only.split(",")))
