@@ -96,6 +96,108 @@ def mist_mining(
     )
 
 
+def top_k_mining(
+    prev_scores: jnp.ndarray,
+    prop_boxes: jnp.ndarray,
+    prop_valid: jnp.ndarray,
+    gt_classes_oh: jnp.ndarray,
+) -> GroundTruth:
+    """Pseudo-GT mining for ``WSL.REFINE_MIST: False``: plain get_pgt_top_k
+    with its defaults (top_k=1, thres=0, roi_heads_oicrplus.py:321-323 calling
+    :617 with no top_k/thres) — the single highest-scoring proposal of every
+    present class becomes a seed, weights = scores, no NMS.
+
+    Returns GroundTruth with capacity K (one slot per class)."""
+    k = gt_classes_oh.shape[0]
+    scores = prev_scores[:, :k]
+    masked = jnp.where(prop_valid[:, None], jnp.asarray(scores, jnp.float32),
+                       -jnp.inf)
+    vals = jnp.max(masked, axis=0)                       # (K,)
+    idxs = jnp.argmax(masked, axis=0).astype(jnp.int32)  # first hit on ties,
+    # like torch.topk(k=1) CPU/CUDA scan order
+    valid = gt_classes_oh.astype(bool) & jnp.isfinite(vals)
+    safe = jnp.where(valid, vals, 0.0)
+    return GroundTruth(
+        boxes=prop_boxes[idxs],
+        classes=jnp.arange(k, dtype=jnp.int32),
+        scores=safe,
+        weights=safe,
+        index=idxs,
+        valid=valid,
+    )
+
+
+def mist_mining_wetectron(
+    prev_scores: jnp.ndarray,
+    prop_boxes: jnp.ndarray,
+    prop_valid: jnp.ndarray,
+    gt_classes_oh: jnp.ndarray,
+    *,
+    mist_p: float = 0.10,
+    mist_thre: float = 0.05,
+    iou_thre: float = 0.2,
+    seed_cap: int = 1024,
+) -> GroundTruth:
+    """"wetectron"-type MIST (``WSL.MIST_TYPE: "wetectron"``), the intended
+    semantics of reference get_pgt_mist_mist (roi_heads_oicrplus.py:477-553):
+
+    Per present class, rank the top max(int(n_valid*mist_p), 1) proposals by
+    score. Rank 0 is always kept; rank ii survives iff its IoU against EVERY
+    higher-ranked candidate of the same class (kept or not — the reference
+    checks ``iou_matrix[:, ii, :ii]``, not the kept subset, :530-532) is
+    < 0.2 AND its score >= mist_thre. No cross-class NMS afterwards.
+
+    Two latent reference bugs are documented rather than reproduced: the
+    reference call site unpacks 4 of get_pgt_top_k's 5 no-instance returns
+    (:484-493 — a ValueError as released) and builds targets without
+    gt_index (:545-553) which the cross-view mirroring at :330-344 requires;
+    we carry the mined proposal index like the "nms" variant so the 4-view
+    broadcast works."""
+    p = prop_boxes.shape[0]
+    k = gt_classes_oh.shape[0]
+    scores = prev_scores[:, :k]
+    kmax = min(int(p * mist_p) + 1, p)
+
+    n_valid = jnp.sum(prop_valid.astype(jnp.int32))
+    top_k_count = jnp.maximum(
+        (n_valid.astype(jnp.float32) * mist_p).astype(jnp.int32), 1)
+
+    masked = jnp.where(prop_valid[:, None], jnp.asarray(scores, jnp.float32),
+                       -jnp.inf)
+    vals, idxs = jax.lax.top_k(masked.T, kmax)     # (K, kmax) rank-ordered
+    rank = jnp.arange(kmax, dtype=jnp.int32)
+    cls_present = gt_classes_oh.astype(bool)[:, None]
+    cand = cls_present & (rank[None, :] < top_k_count) & jnp.isfinite(vals)
+
+    boxes_k = prop_boxes[idxs]                     # (K, kmax, 4)
+    iou = jax.vmap(box_ops.pairwise_iou)(boxes_k, boxes_k)  # (K, kmax, kmax)
+    prev_mask = rank[None, :] < rank[:, None]      # [ii, j]: j ranks above ii
+    max_prev = jnp.max(
+        jnp.where(prev_mask[None] & cand[:, None, :], iou, 0.0), axis=-1)
+    keep = ((max_prev < iou_thre) & (vals >= mist_thre)) | (rank[None, :] == 0)
+    seed_valid = cand & keep
+
+    # compact to seed_cap; rank-0 bonus so per-class top-1 survives truncation
+    flat_vals = vals.reshape(-1)
+    flat_rank = jnp.broadcast_to(rank[None, :], (k, kmax)).reshape(-1)
+    sel = jnp.where(seed_valid.reshape(-1),
+                    flat_vals + jnp.where(flat_rank == 0, 1e4, 0.0), -jnp.inf)
+    _, take = jax.lax.top_k(sel, min(seed_cap, flat_vals.shape[0]))
+
+    s_vals = flat_vals[take]
+    s_valid = seed_valid.reshape(-1)[take]
+    s_scores = jnp.where(s_valid, s_vals, 0.0)
+    return GroundTruth(
+        boxes=boxes_k.reshape(-1, 4)[take],
+        classes=jnp.broadcast_to(
+            jnp.arange(k, dtype=jnp.int32)[:, None], (k, kmax)).reshape(-1)[take],
+        scores=s_scores,
+        weights=s_scores,
+        index=idxs.reshape(-1)[take].astype(jnp.int32),
+        valid=s_valid,
+    )
+
+
 def label_and_sample(
     gt: GroundTruth,
     prop_boxes: jnp.ndarray,
@@ -128,6 +230,11 @@ class OICRPlusHead(nn.Module):
     refine_k: int = 4
     refine_reg: Sequence[bool] = (True, True, True, True)
     refine_mist: bool = True
+    # WSL.MIST_TYPE (defaults.py:244): "nms" = get_pgt_mist (MIST + one
+    # class-agnostic NMS, roi_heads_oicrplus.py:561-605); "wetectron" =
+    # get_pgt_mist_mist (per-class rank suppression at IoU 0.2, :477-553).
+    # Only read when refine_mist is True, like the reference (:307-318).
+    mist_type: str = "nms"
     mist_p: float = 0.10
     mist_thre: float = 0.05
     # OICRPLUS.BBOX_UPDATE (roi_heads_oicrplus.py:398-425): average the 4
@@ -150,6 +257,10 @@ class OICRPlusHead(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
+        if self.refine_mist and self.mist_type not in ("nms", "wetectron"):
+            # reference asserts the same at :317-318
+            raise ValueError(
+                f"WSL.MIST_TYPE must be 'nms' or 'wetectron', got {self.mist_type!r}")
         self.dan = DAN(fc_dims=tuple(self.dan_dims),
                        channels_last=self.fused_pool, dtype=self.dtype)
         self.wsddn = WSDDNHead(self.num_classes, dtype=self.dtype)
@@ -199,10 +310,21 @@ class OICRPlusHead(nn.Module):
             term_weight = 1.0
             if k == 0 and (not self.refine_mist) and (not self.refine_reg[0]):
                 term_weight = 3.0  # roi_heads_oicrplus.py:305-306
-            gt = mist_mining(
-                prev, boxes[0], prop_valid, gt_classes_oh,
-                mist_p=self.mist_p, mist_thre=self.mist_thre, seed_cap=self.seed_cap,
-            )
+            # mining dispatch, reference roi_heads_oicrplus.py:307-323
+            if not self.refine_mist:
+                gt = top_k_mining(prev, boxes[0], prop_valid, gt_classes_oh)
+            elif self.mist_type == "wetectron":
+                gt = mist_mining_wetectron(
+                    prev, boxes[0], prop_valid, gt_classes_oh,
+                    mist_p=self.mist_p, mist_thre=self.mist_thre,
+                    seed_cap=self.seed_cap,
+                )
+            else:  # "nms"
+                gt = mist_mining(
+                    prev, boxes[0], prop_valid, gt_classes_oh,
+                    mist_p=self.mist_p, mist_thre=self.mist_thre,
+                    seed_cap=self.seed_cap,
+                )
             if prev_boxes_v is not None:
                 # mining seeds carry the flip-averaged regressed box of their
                 # (proposal, class) instead of the raw proposal

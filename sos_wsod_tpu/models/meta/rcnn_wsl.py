@@ -39,6 +39,7 @@ class MultiInputRCNN(nn.Module):
     refine_k: int = 4
     refine_reg: Sequence[bool] = (True, True, True, True)
     refine_mist: bool = True
+    mist_type: str = "nms"
     mist_p: float = 0.10
     mist_thre: float = 0.05
     bbox_update: bool = False
@@ -62,6 +63,7 @@ class MultiInputRCNN(nn.Module):
             refine_k=self.refine_k,
             refine_reg=tuple(self.refine_reg),
             refine_mist=self.refine_mist,
+            mist_type=self.mist_type,
             mist_p=self.mist_p,
             mist_thre=self.mist_thre,
             bbox_update=self.bbox_update,
@@ -186,6 +188,7 @@ class MultiInputRCNN(nn.Module):
             refine_k=cfg.WSL.REFINE_NUM,
             refine_reg=tuple(cfg.WSL.REFINE_REG),
             refine_mist=cfg.WSL.REFINE_MIST,
+            mist_type=cfg.WSL.MIST_TYPE,
             mist_p=cfg.WSL.MIST_P,
             mist_thre=cfg.WSL.MIST_THRE,
             bbox_update=cfg.OICRPLUS.BBOX_UPDATE,

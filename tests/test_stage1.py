@@ -78,6 +78,150 @@ def test_mist_top1_always_kept():
     assert {0, 5} <= pre_nms
 
 
+def _iou_np(a, b):
+    """d2 pairwise_iou convention (no +1), like reference iou_cal
+    (roi_heads_oicrplus.py:499-519)."""
+    ax = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
+    ay = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+    inter = ax * ay
+    area_a = (a[2] - a[0]) * (a[3] - a[1])
+    area_b = (b[2] - b[0]) * (b[3] - b[1])
+    return inter / (area_a + area_b - inter) if inter > 0 else 0.0
+
+
+def wetectron_oracle(scores, boxes, present, p_frac, thre, iou_thre=0.2):
+    """Reference get_pgt_mist_mist intended semantics
+    (roi_heads_oicrplus.py:481-543): per-class rank list; rank ii kept iff
+    IoU vs every higher rank (kept or not) < iou_thre and score >= thre;
+    rank 0 always kept. No cross-class NMS."""
+    n = scores.shape[0]
+    topk = max(int(n * p_frac), 1)
+    out = set()
+    for c in present:
+        order = np.argsort(-scores[:, c], kind="stable")[:topk]
+        cboxes = boxes[order]
+        for r, i in enumerate(order):
+            if r == 0:
+                out.add((int(c), int(i)))
+                continue
+            max_prev = max(_iou_np(cboxes[r], cboxes[j]) for j in range(r))
+            if max_prev < iou_thre and scores[i, c] >= thre:
+                out.add((int(c), int(i)))
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_wetectron_mining_parity(seed):
+    from sos_wsod_tpu.models.heads.oicr_plus import mist_mining_wetectron
+
+    rng = np.random.RandomState(seed)
+    cap, n_valid, k = 64, 40, 20
+    boxes = _rand_boxes(rng, cap, 400, 600)
+    scores = rng.uniform(0, 0.2, (cap, k)).astype(np.float32)
+    valid = np.zeros(cap, bool)
+    valid[:n_valid] = True
+    present = [1, 6, 14]
+    oh = np.zeros(k, np.float32)
+    oh[present] = 1
+
+    gt = mist_mining_wetectron(
+        jnp.asarray(scores), jnp.asarray(boxes), jnp.asarray(valid),
+        jnp.asarray(oh), mist_p=0.10, mist_thre=0.05, seed_cap=64,
+    )
+    got = {
+        (int(c), int(i))
+        for c, i, v in zip(np.asarray(gt.classes), np.asarray(gt.index),
+                           np.asarray(gt.valid))
+        if v
+    }
+    exp = wetectron_oracle(scores[:n_valid], boxes[:n_valid], present, 0.10, 0.05)
+    assert got == exp
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_top_k_mining_parity(seed):
+    from sos_wsod_tpu.models.heads.oicr_plus import top_k_mining
+
+    rng = np.random.RandomState(seed)
+    cap, n_valid, k = 48, 30, 20
+    boxes = _rand_boxes(rng, cap, 300, 500)
+    scores = rng.uniform(0, 1.0, (cap, k)).astype(np.float32)
+    valid = np.zeros(cap, bool)
+    valid[:n_valid] = True
+    present = [0, 9, 19]
+    oh = np.zeros(k, np.float32)
+    oh[present] = 1
+
+    gt = top_k_mining(jnp.asarray(scores), jnp.asarray(boxes),
+                      jnp.asarray(valid), jnp.asarray(oh))
+    got = {
+        (int(c), int(i))
+        for c, i, v in zip(np.asarray(gt.classes), np.asarray(gt.index),
+                           np.asarray(gt.valid))
+        if v
+    }
+    # get_pgt_top_k defaults (top_k=1, thres=0): argmax proposal per class
+    exp = {(c, int(np.argmax(scores[:n_valid, c]))) for c in present}
+    assert got == exp
+    w = np.asarray(gt.weights)
+    for c in present:
+        np.testing.assert_allclose(w[c], scores[:n_valid, c].max(), rtol=1e-6)
+
+
+def test_mining_dispatch_changes_pgt():
+    """Flipping WSL.REFINE_MIST / WSL.MIST_TYPE must change the mined set
+    (the round-3 code silently ignored both keys)."""
+    from sos_wsod_tpu.models.heads.oicr_plus import (
+        mist_mining_wetectron, top_k_mining)
+
+    rng = np.random.RandomState(7)
+    cap, k = 64, 20
+    boxes = _rand_boxes(rng, cap, 400, 600)
+    scores = rng.uniform(0, 0.5, (cap, k)).astype(np.float32)
+    valid = np.ones(cap, bool)
+    oh = np.zeros(k, np.float32)
+    oh[[3, 8]] = 1
+    args = (jnp.asarray(scores), jnp.asarray(boxes), jnp.asarray(valid),
+            jnp.asarray(oh))
+
+    def seeds(gt):
+        return {
+            (int(c), int(i))
+            for c, i, v in zip(np.asarray(gt.classes), np.asarray(gt.index),
+                               np.asarray(gt.valid)) if v
+        }
+
+    s_nms = seeds(mist_mining(*args, mist_p=0.10, mist_thre=0.05, seed_cap=64))
+    s_wet = seeds(mist_mining_wetectron(*args, mist_p=0.10, mist_thre=0.05,
+                                        seed_cap=64))
+    s_top = seeds(top_k_mining(*args))
+    assert s_top != s_nms and s_top != s_wet and s_nms != s_wet
+    # top-1 per present class is in every variant's seed set pre-truncation
+    assert len(s_top) == 2 and s_top <= s_wet
+
+
+def test_mist_type_config_plumbed():
+    from sos_wsod_tpu.config.defaults import get_default_cfg as get_cfg
+
+    cfg = get_cfg()
+    cfg.WSL.MIST_TYPE = "wetectron"
+    cfg.WSL.REFINE_MIST = True
+    m = MultiInputRCNN.from_cfg(cfg)
+    assert m.mist_type == "wetectron" and m.refine_mist is True
+    cfg2 = get_cfg()
+    cfg2.WSL.MIST_TYPE = "bogus"
+    import flax.linen as nn
+
+    m2 = MultiInputRCNN.from_cfg(cfg2, refine_mist=True)
+    with pytest.raises(ValueError, match="MIST_TYPE"):
+        m2.init(
+            {"params": jax.random.PRNGKey(0)},
+            {"image": jnp.zeros((32, 32, 3)), "valid_hw": jnp.asarray([32, 32]),
+             "boxes": jnp.zeros((8, 4)), "objectness": jnp.zeros(8),
+             "prop_valid": jnp.ones(8, bool), "image_hw": jnp.asarray([32, 32])},
+        )
+
+
 def test_label_and_sample_bands():
     # one gt box; proposals at controlled IoUs -> fg / ignore / bg bands
     gt_box = np.array([[100, 100, 200, 200]], np.float32)
