@@ -257,6 +257,24 @@ def test_nms_matches_reference():
         got = set(np.nonzero(np.asarray(keep))[0].tolist())
         want = set(z["keep0_%d" % int(thr * 100)].tolist())
         assert got == want, f"thr={thr}: {len(got)} kept vs {len(want)}"
+    # tie case: scores quantized to 8 levels. torch's descending CPU sort is
+    # UNSTABLE, so the kernel's visiting order within a tie level is an
+    # arbitrary permutation (torchvision documents tied-score selection as
+    # implementation-defined). The golden therefore records the kernel's
+    # tie-resolved order; injecting it as unique surrogate scores checks our
+    # greedy suppression logic bit-exactly on heavy-tie inputs while
+    # factoring out the arbitrary permutation.
+    order = z["order_tied"]
+    n = len(order)
+    surrogate = np.empty(n, np.float32)
+    surrogate[order] = np.arange(n, 0, -1, dtype=np.float32)
+    for thr in (0.01, 0.3, 0.5):
+        keep = nms_mask(jnp.asarray(xyxy), jnp.asarray(surrogate),
+                        jnp.asarray(valid), thr)
+        got = set(np.nonzero(np.asarray(keep))[0].tolist())
+        want = set(z["keep_tied_%d" % int(thr * 100)].tolist())
+        assert got == want, (
+            f"tied thr={thr}: symmetric diff {got ^ want}")
 
 
 def test_nms_rotated_matches_reference():
@@ -279,3 +297,60 @@ def test_nms_rotated_matches_reference():
     # near-threshold pairs; demand near-total agreement, not bit equality
     sym = got.symmetric_difference(want)
     assert len(sym) <= max(2, len(want) // 50), (len(got), len(want), sym)
+
+
+def test_oicr_plus_composed_forward_matches_reference():
+    """MODEL-LEVEL golden (VERDICT r3 missing #4): our jitted MultiInputRCNN
+    inference (VGG16 dilated conv stack -> fused ROIPool x (objectness+1) ->
+    DAN fc6/fc7 -> K=4 branch ensemble -> delta decode) vs the reference's
+    composed test-time graph replayed in plain torch + the compiled
+    reference pooling kernel on SHARED deterministic weights
+    (tests/model_golden_case.py). Kernel goldens can't catch wiring bugs
+    between the pieces; this one anchors the whole inference DAG
+    (rcnn_multi.py:210-292 + fast_rcnn_oicr.py:674-736)."""
+    if not (GOLD / "oicr_plus_forward.npz").exists():
+        pytest.skip("oicr_plus_forward golden not generated")
+    import jax
+
+    from sos_wsod_tpu.engine.weights import merge_pretrained, vgg_wsl_param_tree
+    from sos_wsod_tpu.models.meta.rcnn_wsl import MultiInputRCNN
+
+    from model_golden_case import H, NUM_CLASSES, P, W, build_case
+
+    z = _load("oicr_plus_forward.npz")
+    image, rois, objectness, blobs = build_case()
+    # drift guard: build_case must still produce the tensors the golden saw
+    sums = np.array(
+        [image.sum(), rois.sum(), objectness.sum(),
+         float(sum(v.astype(np.float64).sum() for v in blobs.values()))],
+        np.float64)
+    np.testing.assert_allclose(sums, z["case_sums"], rtol=1e-12)
+
+    model = MultiInputRCNN(num_classes=NUM_CLASSES, dtype=jnp.float32)
+    batch = {
+        "image": jnp.asarray(image),
+        "valid_hw": jnp.asarray([H, W], jnp.int32),
+        "boxes": jnp.asarray(rois[:, 1:]),
+        "objectness": jnp.asarray(objectness),
+        "prop_valid": jnp.ones(P, bool),
+        "image_hw": jnp.asarray([H, W], jnp.int32),
+    }
+    params = model.init({"params": jax.random.PRNGKey(0)}, batch)["params"]
+    params = merge_pretrained(params, vgg_wsl_param_tree(blobs))
+
+    # backbone intermediate first, to localize any divergence
+    feat5 = model.apply(
+        {"params": params},
+        jnp.asarray(image)[None], jnp.asarray([[H, W]], jnp.int32),
+        method=lambda m, img, vhw: m.backbone(m._normalize(img), vhw)["plain5"],
+    )[0]
+    np.testing.assert_allclose(
+        np.asarray(feat5), z["feat5"].transpose(1, 2, 0),
+        rtol=1e-4, atol=1e-3)
+
+    _, scores, pred_boxes = jax.jit(
+        lambda p, b: model.apply({"params": p}, b))(params, batch)
+    np.testing.assert_allclose(np.asarray(scores), z["probs"],
+                               rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(pred_boxes), z["pred_boxes"],
+                               rtol=1e-4, atol=2e-2)
