@@ -44,12 +44,47 @@ def get_detection_dataset_dicts(
     return dataset_dicts
 
 
-def training_index_stream(n: int, seed: int = 0, shuffle: bool = True) -> Iterator[int]:
-    """Infinite shuffled index stream (d2 TrainingSampler semantics)."""
-    rng = np.random.RandomState(seed)
-    while True:
-        order = rng.permutation(n) if shuffle else np.arange(n)
-        yield from order.tolist()
+def _process_shard(process_index: Optional[int],
+                   process_count: Optional[int]):
+    """Resolve (rank, world) for host-side stream sharding; defaults come
+    from the jax runtime so multi-host training needs no plumbing beyond
+    jax.distributed.initialize (engine/defaults.py:maybe_init_distributed)."""
+    if process_index is None or process_count is None:
+        import jax
+
+        if process_index is None:
+            process_index = jax.process_index()
+        if process_count is None:
+            process_count = jax.process_count()
+    assert 0 <= process_index < process_count
+    return process_index, process_count
+
+
+def training_index_stream(
+    n: int,
+    seed: int = 0,
+    shuffle: bool = True,
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
+) -> Iterator[int]:
+    """Infinite shuffled index stream (d2 TrainingSampler semantics).
+
+    Multi-host: every process draws the SAME seeded stream and keeps its
+    rank-strided slice — exactly d2's TrainingSampler, whose __iter__ is
+    islice(self._infinite_indices(), rank, None, world_size)
+    (detectron2/detectron2/data/samplers/distributed_sampler.py) — so hosts
+    consume disjoint indices whose union is the single-host stream."""
+    rank, world = _process_shard(process_index, process_count)
+
+    def gen():
+        rng = np.random.RandomState(seed)
+        while True:
+            order = rng.permutation(n) if shuffle else np.arange(n)
+            yield from order.tolist()
+
+    if world > 1:
+        return itertools.islice(gen(), rank, None, world)
+    return gen()
 
 
 def _repad_to(sample: Dict[str, np.ndarray], shapes: Dict[str, tuple]) -> Dict[str, np.ndarray]:
@@ -177,10 +212,18 @@ def build_stage1_train_loader(cfg, mapper=None, batch_size: Optional[int] = None
             size_divisibility=cfg.TPU.IMAGE_SIZE_DIVISIBILITY,
             seed=max(cfg.SEED, 0),
         )
+    # SOLVER.IMS_PER_BATCH is GLOBAL (like d2); each host maps its own
+    # 1/process_count share and the trainer assembles the global batch from
+    # process-local shards (engine/trainer.py _place via
+    # make_array_from_process_local_data)
+    global_bs = batch_size or cfg.SOLVER.IMS_PER_BATCH
+    _, world = _process_shard(None, None)
+    assert global_bs % world == 0, (
+        f"IMS_PER_BATCH={global_bs} not divisible by {world} processes")
     return batched_stream(
         dataset_dicts,
         mapper,
-        batch_size or cfg.SOLVER.IMS_PER_BATCH,
+        global_bs // world,
         seed=max(cfg.SEED, 0),
         size_divisibility=cfg.TPU.IMAGE_SIZE_DIVISIBILITY,
         num_workers=cfg.DATALOADER.NUM_WORKERS,

@@ -223,9 +223,18 @@ def build_semisup_loader_from_cfg(cfg, dataset_dicts=None):
         size_divisibility=cfg.TPU.IMAGE_SIZE_DIVISIBILITY,
         seed=max(cfg.SEED, 0),
     )
+    # IMG_PER_BATCH_* are GLOBAL (like d2); each host maps its own
+    # 1/process_count share — the _pair_stream indices are rank-strided via
+    # training_index_stream, so hosts consume disjoint images
+    from .build import _process_shard
+
+    _, world = _process_shard(None, None)
+    bl, bu = cfg.SOLVER.IMG_PER_BATCH_LABEL, cfg.SOLVER.IMG_PER_BATCH_UNLABEL
+    assert bl % world == 0 and bu % world == 0, (
+        f"IMG_PER_BATCH label={bl}/unlabel={bu} not divisible by {world} processes")
     return build_semisup_two_crop_loader(
         label_dicts, unlabel_dicts, mapper,
-        cfg.SOLVER.IMG_PER_BATCH_LABEL, cfg.SOLVER.IMG_PER_BATCH_UNLABEL,
+        bl // world, bu // world,
         seed=max(cfg.SEED, 0),
         size_divisibility=cfg.TPU.IMAGE_SIZE_DIVISIBILITY,
     )

@@ -46,7 +46,48 @@ def setup_logging(output_dir: str = "", name: str = "sos_wsod_tpu"):
     logging.basicConfig(level=logging.INFO, format=fmt, handlers=handlers, force=True)
 
 
+def maybe_init_distributed(args=None) -> int:
+    """Multi-host bring-up — the TPU-native analog of the reference's
+    launch() -> dist.init_process_group(backend="NCCL")
+    (detectron2/detectron2/engine/launch.py:27-123).
+
+    Initializes ``jax.distributed`` when either
+      (a) the reference-style CLI args request multiple machines
+          (``--num-machines N --machine-rank R --dist-url tcp://host:port``;
+          the coordinator is machine-rank 0 at the dist-url address), or
+      (b) the standard JAX cluster env vars are present
+          (``JAX_COORDINATOR_ADDRESS`` [+ ``JAX_NUM_PROCESSES`` +
+          ``JAX_PROCESS_ID``], or a recognized cluster environment).
+    No-op when already initialized or single-process. After this, the data
+    loaders rank-stride their index streams (data/build.py) and the trainers
+    assemble global batches from per-process shards, so no further plumbing
+    is required. Returns the process count.
+    """
+    import jax
+
+    if jax.distributed.is_initialized():
+        return jax.process_count()
+    if args is not None and getattr(args, "num_machines", 1) > 1:
+        url = getattr(args, "dist_url", "auto") or "auto"
+        if url == "auto":
+            raise ValueError(
+                "--num-machines > 1 requires --dist-url tcp://host:port "
+                "(the reference's launch.py:38 contract)")
+        addr = url.split("://")[-1]
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=args.num_machines,
+            process_id=getattr(args, "machine_rank", 0),
+        )
+        return jax.process_count()
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()  # everything from the env / cluster
+        return jax.process_count()
+    return 1
+
+
 def default_setup(cfg, args):
+    maybe_init_distributed(args)
     setup_logging(cfg.OUTPUT_DIR)
     logger.info("Command line args: %s", args)
     if cfg.OUTPUT_DIR:

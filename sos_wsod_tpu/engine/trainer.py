@@ -335,6 +335,17 @@ class Stage1Trainer(TrainerBase):
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             sh = NamedSharding(self.mesh, spec)
+            if jax.process_count() > 1:
+                # multi-host: the loader yielded this host's
+                # 1/process_count share (rank-strided index stream,
+                # data/build.py:training_index_stream); assemble the global
+                # batch from the per-process shards without any host
+                # all-gather — replaces the reference's per-rank PyTorch
+                # DataLoaders + DistributedDataParallel scatter
+                # (detectron2/engine/launch.py:27-123)
+                return jax.tree_util.tree_map(
+                    lambda x: jax.make_array_from_process_local_data(
+                        sh, np.asarray(x)), batch)
             return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
         from jax.sharding import PartitionSpec as P

@@ -126,6 +126,11 @@ def main(argv=None):
     from ..data.build import get_detection_dataset_dicts
     from ..data.datasets.voc import register_all_voc
 
+    from ..engine.defaults import maybe_init_distributed
+
+    world = maybe_init_distributed()  # env-gated (JAX_COORDINATOR_ADDRESS)
+    rank = jax.process_index()
+
     cfg = get_default_cfg()
     cfg.merge_from_file(args.config)
     register_all_voc()
@@ -151,18 +156,34 @@ def main(argv=None):
             size_divisibility=cfg.TPU.IMAGE_SIZE_DIVISIBILITY,
         )
 
+        # multi-host: process r scores the rank-interleaved image subset,
+        # like split_multi's rank r -> image (base + r) % N
+        # (unbias/split_multi.py:95-100); the (id, loss) pairs are
+        # allgathered and deduped before the sort, like its
+        # all_gather_object + rank-0 dedup
+        my_dicts = dataset_dicts[rank::world] if world > 1 else dataset_dicts
+
         def samples():
-            for d in dataset_dicts:
+            for d in my_dicts:
                 pair = mapper(d)
                 if pair is not None:
                     yield pair[1]  # weak view
 
         ids, losses = score_dataset_losses(model, params, samples())
+        if world > 1:
+            from ..parallel.mesh import process_gather
+
+            pairs = process_gather(list(zip(ids, losses)))
+            seen = {}
+            for i, l in pairs:
+                seen.setdefault(int(i), float(l))
+            ids, losses = list(seen.keys()), list(seen.values())
         split, percent = split_by_losses(ids, losses, args.k)
         print(f"The finded percent is: {percent}")
 
-    with open(args.save_path, "w") as f:
-        json.dump(split, f)
+    if rank == 0:
+        with open(args.save_path, "w") as f:
+            json.dump(split, f)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,113 @@
+"""Worker for tests/test_multihost.py: one of two cooperating processes.
+
+Each process owns 4 virtual CPU devices; together they form a global
+8-device data-parallel mesh (the TPU-native analog of the reference's
+2-machine x 4-GPU launch, detectron2/detectron2/engine/launch.py:27-123).
+The worker builds its RANK-STRIDED share of the index stream
+(data/build.py:training_index_stream), assembles the global batch from
+process-local shards exactly like Stage1Trainer's place()
+(engine/trainer.py), runs ONE full stage-1 train step (grad psum crosses
+the process boundary over gloo), and prints a JSON line with the indices
+it consumed plus a replicated-params checksum for the parent to verify.
+
+Usage: python _multihost_worker.py <coordinator_port> <process_id>
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+# the axon sitecustomize registers the TPU plugin whenever this is set,
+# overriding JAX_PLATFORMS=cpu (see __graft_entry__._reexec_on_virtual_cpu_mesh)
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_compilation")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.3")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+
+def main():
+    port, pid = int(sys.argv[1]), int(sys.argv[2])
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
+    )
+    assert jax.process_count() == 2 and jax.process_index() == pid
+    assert len(jax.local_devices()) == 4 and len(jax.devices()) == 8
+
+    import itertools
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from __graft_entry__ import _tiny_image_batch
+    from sos_wsod_tpu.data.build import training_index_stream
+    from sos_wsod_tpu.engine.trainer import make_stage1_train_step
+    from sos_wsod_tpu.models.meta.rcnn_wsl import MultiInputRCNN
+    from sos_wsod_tpu.solver.build import torch_sgd, warmup_multistep_lr
+
+    # rank-strided stream (process_index/count default from the jax runtime)
+    n_images, local_bs = 32, 4
+    stream = training_index_stream(n_images, seed=0)
+    indices = list(itertools.islice(stream, local_bs))
+
+    # per-image data derived from the INDEX: hosts build different images
+    samples = [_tiny_image_batch(np.random.RandomState(1000 + i),
+                                 p=32, h1=48, w1=64, h2=64, w2=80)
+               for i in indices]
+    local = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *samples)
+
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    model = MultiInputRCNN(num_classes=20, seed_cap=32, dan_dims=(64, 64))
+    one = jax.tree_util.tree_map(lambda x: x[0], local)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        one, train=True,
+    )["params"]
+    tx = torch_sgd(warmup_multistep_lr(1e-3, (100,)), momentum=0.9)
+    state = {"params": params, "opt_state": tx.init(params),
+             "iter": jnp.zeros((), jnp.int32)}
+    repl = NamedSharding(mesh, P())
+    state = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), state)
+
+    # global batch from process-local shards — Stage1Trainer's place() path
+    sh = NamedSharding(mesh, P("data"))
+    batch = jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        local)
+
+    step = make_stage1_train_step(model, tx, mesh=mesh, donate=False)
+    # AOT-compile, then BARRIER before executing: gloo's context formation
+    # (first collective) has a hard 30 s KV timeout, and on a single-core
+    # host the two processes' concurrent compiles can finish more than 30 s
+    # apart — execution must start in lockstep, compile time must not count.
+    step_c = step.lower(state, batch, jax.random.PRNGKey(2)).compile()
+    from jax._src.distributed import global_state  # test-only barrier
+
+    global_state.client.wait_at_barrier("compiled",
+                                        timeout_in_ms=20 * 60 * 1000)
+    new_state, metrics = step_c(state, batch, jax.random.PRNGKey(2))
+    jax.block_until_ready(new_state)
+
+    # params are replicated: a checksum over addressable shards must agree
+    # across hosts iff the grad psum crossed the process boundary correctly
+    leaves = jax.tree_util.tree_leaves(new_state["params"])
+    checksum = float(sum(
+        jnp.sum(jnp.abs(jnp.asarray(leaf.addressable_data(0), jnp.float32)))
+        for leaf in leaves))
+    print(json.dumps({
+        "pid": pid,
+        "indices": indices,
+        "checksum": checksum,
+        "total_loss": float(metrics["total_loss"]),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

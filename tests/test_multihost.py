@@ -1,0 +1,97 @@
+"""Multi-host (2-process) training test over a 2x4 virtual CPU topology.
+
+Verifies the three multi-host contracts the reference runtime provides via
+launch()/DDP/NCCL (detectron2/detectron2/engine/launch.py:27-123) and the
+round-3 review found missing:
+  1. jax.distributed bring-up forms one global 8-device mesh from 2 processes;
+  2. the hosts consume DISJOINT rank-strided slices of the same seeded index
+     stream (d2 TrainingSampler semantics, data/build.py);
+  3. one full stage-1 train step all-reduces gradients across the process
+     boundary, leaving both hosts with IDENTICAL replicated params.
+
+Also unit-tests the host-side stream sharding and the maybe_init_distributed
+CLI gate without subprocesses.
+"""
+import itertools
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_training_index_stream_shards_disjoint():
+    from sos_wsod_tpu.data.build import training_index_stream
+
+    n, take = 16, 24  # runs past one epoch to check the stride persists
+    full = list(itertools.islice(
+        training_index_stream(n, seed=3, process_index=0, process_count=1), 2 * take))
+    s0 = list(itertools.islice(
+        training_index_stream(n, seed=3, process_index=0, process_count=2), take))
+    s1 = list(itertools.islice(
+        training_index_stream(n, seed=3, process_index=1, process_count=2), take))
+    # rank-strided slices of the SAME stream (d2 TrainingSampler islice)
+    assert s0 == full[0::2][:take]
+    assert s1 == full[1::2][:take]
+    # within one epoch (a permutation) the two hosts see disjoint images
+    assert set(s0[: n // 2]).isdisjoint(s1[: n // 2])
+
+
+def test_maybe_init_distributed_single_process_noop():
+    import argparse
+
+    from sos_wsod_tpu.engine.defaults import maybe_init_distributed
+
+    ns = argparse.Namespace(num_machines=1, machine_rank=0, dist_url="auto")
+    assert maybe_init_distributed(ns) == 1
+    # multi-machine without a coordinator address must fail loudly, like the
+    # reference's launch() assert on dist_url (launch.py:38)
+    bad = argparse.Namespace(num_machines=2, machine_rank=0, dist_url="auto")
+    with pytest.raises(ValueError, match="dist-url"):
+        maybe_init_distributed(bad)
+
+
+@pytest.mark.slow
+def test_two_process_train_step_disjoint_data_identical_params(tmp_path):
+    port = _free_port()
+    worker = os.path.join(REPO, "tests", "_multihost_worker.py")
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # axon sitecustomize TPU override
+    env.pop("XLA_FLAGS", None)             # worker sets jax_num_cpu_devices
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(port), str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, cwd=REPO,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        assert p.returncode == 0, (
+            f"worker rc={p.returncode}\nstdout:{out.decode()[-2000:]}"
+            f"\nstderr:{err.decode()[-2000:]}")
+        line = [l for l in out.decode().splitlines() if l.startswith("{")][-1]
+        outs.append(json.loads(line))
+
+    r0 = next(o for o in outs if o["pid"] == 0)
+    r1 = next(o for o in outs if o["pid"] == 1)
+    # disjoint rank-strided index consumption
+    assert set(r0["indices"]).isdisjoint(r1["indices"]), (r0, r1)
+    assert len(r0["indices"]) == len(r1["indices"]) == 4
+    # identical replicated params after the cross-process grad psum
+    assert r0["checksum"] == pytest.approx(r1["checksum"], rel=1e-6)
+    assert r0["total_loss"] == pytest.approx(r1["total_loss"], rel=1e-6)
