@@ -7,12 +7,14 @@ Measured program: the full jitted train step (4-view VGG16 forward, ROIPool over
 update) at the reference's production shapes (voc07_oicr_plus.yaml: min-size
 ~688, 4000 proposals, batch 1 image/chip like the reference's 1 image/GPU).
 
-Steps are executed as lax.scan supersteps (TPU.SCAN_STEPS=8, one dispatch per
-8 optimizer steps) — the production trainer configuration for remote-attached
-chips, where per-dispatch host overhead (~300 ms) would otherwise dwarf the
-~60 ms of device compute per step. Timing is closed with a device_get of the
-final metrics (a host readback is the only true synchronization through the
-axon tunnel; block_until_ready can return early).
+Steps are executed as lax.scan supersteps (SOS_BENCH_SCAN=32, one dispatch
+per 32 optimizer steps) — the production trainer configuration for
+remote-attached chips, where per-dispatch host/tunnel overhead (~1 s measured
+r4) would otherwise add ~45% to the ~318 ms of device compute per step. The
+bench superstep replays ONE device-resident batch per sub-step (HBM stays
+O(B); the production trainer scans distinct images). Timing is closed with a
+device_get of the final metrics (a host readback is the only true
+synchronization through the axon tunnel; block_until_ready can return early).
 
 Baseline: the reference publishes no throughput numbers (SURVEY.md §6). We use
 a fixed 2.0 images/sec/GPU estimate for the reference's stage-1 multi-view
@@ -33,7 +35,11 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_tpu_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-SCAN_STEPS = int(os.environ.get("SOS_BENCH_SCAN", "8"))
+# scan=32 amortizes the ~1 s/dispatch axon-tunnel overhead to ~31 ms/step
+# (r4 measured: scan=8 -> 2.27 img/s, scan=32 -> 2.861; device time is
+# ~318 ms/step either way). Production on locally-attached chips is
+# insensitive to this; the tunnel is a bench-environment artifact.
+SCAN_STEPS = int(os.environ.get("SOS_BENCH_SCAN", "32"))
 BATCH = int(os.environ.get("SOS_BENCH_BATCH", "1"))  # images per chip
 
 
@@ -50,29 +56,46 @@ def main():
     rng = np.random.RandomState(0)
     p = 4096
     batch1 = _tiny_image_batch(rng, p=p, h1=688, w1=1024, h2=576, w2=864)
-    # (K, B=1, ...) superbatch, device-resident across iterations
+    # ONE (B, ...) device-resident batch, reused by every scan sub-step.
+    # The production trainer scans over a (K, B, ...) superbatch of DISTINCT
+    # images; materializing that here scales HBM with K (34 GB at K=32 B=2,
+    # an immediate OOM) without changing the per-step compute being measured,
+    # so the bench superstep replays one batch K times instead.
     batch = jax.tree_util.tree_map(
-        lambda x: jnp.broadcast_to(jnp.asarray(x)[None, None],
-                                   (SCAN_STEPS, BATCH) + x.shape), batch1)
+        lambda x: jnp.broadcast_to(jnp.asarray(x)[None], (BATCH,) + x.shape),
+        batch1)
     batch = jax.tree_util.tree_map(jnp.asarray, batch)
 
     model = MultiInputRCNN(num_classes=20, seed_cap=1024, dtype=jnp.bfloat16)
-    one = jax.tree_util.tree_map(lambda x: x[0, 0], batch)
+    one = jax.tree_util.tree_map(lambda x: x[0], batch)
     params = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, one, train=True
     )["params"]
     tx = torch_sgd(warmup_multistep_lr(1e-3, (35000,)), momentum=0.9)
     state = {"params": params, "opt_state": tx.init(params), "iter": jnp.zeros((), jnp.int32)}
 
-    step = make_stage1_train_step(model, tx, mesh=None, donate=True,
-                                  scan_steps=SCAN_STEPS)
+    single = make_stage1_train_step(model, tx, mesh=None, donate=False,
+                                    scan_steps=1)
+    if SCAN_STEPS > 1:
+        from functools import partial
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def step(state, batch, key):
+            def body(st, i):
+                return single(st, batch, jax.random.fold_in(key, i))
+
+            return jax.lax.scan(body, state, jnp.arange(SCAN_STEPS))
+    else:
+        step = make_stage1_train_step(model, tx, mesh=None, donate=True,
+                                      scan_steps=1)
     key = jax.random.key(2, impl="unsafe_rbg")  # hw-RNG dropout (TPU.PRNG_IMPL)
 
     # warmup / compile; device_get is the true sync point through the tunnel
     state, m = step(state, batch, key)
     jax.device_get(m)
 
-    iters = 4  # supersteps -> 32 optimizer steps / images
+    # supersteps; 4 x SCAN_STEPS=8 -> 32 optimizer steps / images by default
+    iters = int(os.environ.get("SOS_BENCH_ITERS", "4"))
     t0 = time.perf_counter()
     for i in range(iters):
         state, m = step(state, batch, jax.random.fold_in(key, i))
@@ -81,12 +104,39 @@ def main():
 
     imgs_per_sec = iters * SCAN_STEPS * BATCH / dt
     baseline = 2.0  # assumed reference GPU images/sec (see module docstring)
-    print(json.dumps({
+    rec = {
         "metric": "stage1_train_images_per_sec_per_chip",
         "value": round(imgs_per_sec, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec / baseline, 3),
-    }))
+    }
+    prev = _prev_round_value()
+    if prev:
+        # regression tripwire: a perf-default change must not land blind
+        # again (round 3 shipped a silent -21%; see VERDICT.md r3 weak #1)
+        rec["delta_vs_prev"] = round((imgs_per_sec - prev) / prev, 3)
+    print(json.dumps(rec))
+
+
+def _prev_round_value() -> float:
+    """Newest committed BENCH_r*.json value, for the delta_vs_prev tripwire."""
+    import glob
+    import re
+
+    best_n, val = -1, 0.0
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            rec = json.load(open(path))
+            v = float(rec.get("parsed", rec).get("value", 0.0))
+        except Exception:
+            continue
+        if int(m.group(1)) > best_n and v > 0:
+            best_n, val = int(m.group(1)), v
+    return val
 
 
 if __name__ == "__main__":
