@@ -101,11 +101,23 @@ def main():
     checksum = float(sum(
         jnp.sum(jnp.abs(jnp.asarray(leaf.addressable_data(0), jnp.float32)))
         for leaf in leaves))
+
+    # exercise process_gather's REAL multi-host branch (pickle/pad/allgather;
+    # the reference analog is comm.gather in the evaluators) — single-process
+    # tests only ever hit its identity short-circuit. Payloads are asymmetric
+    # in size so the pad-to-max path is actually used.
+    from sos_wsod_tpu.parallel.mesh import process_gather
+
+    mine = [{"rank": pid, "blob": "x" * (10 + 500 * pid)}]
+    gathered = process_gather(mine)
+
     print(json.dumps({
         "pid": pid,
         "indices": indices,
         "checksum": checksum,
         "total_loss": float(metrics["total_loss"]),
+        "gathered_ranks": sorted(g["rank"] for g in gathered),
+        "gathered_sizes": sorted(len(g["blob"]) for g in gathered),
     }), flush=True)
 
 

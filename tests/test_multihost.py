@@ -95,3 +95,8 @@ def test_two_process_train_step_disjoint_data_identical_params(tmp_path):
     # identical replicated params after the cross-process grad psum
     assert r0["checksum"] == pytest.approx(r1["checksum"], rel=1e-6)
     assert r0["total_loss"] == pytest.approx(r1["total_loss"], rel=1e-6)
+    # process_gather's allgather branch: every host sees both hosts' objects,
+    # with the asymmetric payload sizes round-tripped through the pad-to-max
+    for r in (r0, r1):
+        assert r["gathered_ranks"] == [0, 1]
+        assert r["gathered_sizes"] == [10, 510]
