@@ -13,6 +13,8 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ...ops.dropout import HwDropout
+
 _fc_init = nn.initializers.normal(stddev=0.005)
 _bias_init = nn.initializers.constant(0.1)
 _conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
@@ -45,5 +47,7 @@ class DAN(nn.Module):
             x = nn.Dense(d, dtype=self.dtype, kernel_init=_fc_init,
                          bias_init=_bias_init, name=f"fc{i + 1}")(x)
             x = nn.relu(x)
-            x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+            # ops/dropout.py: bernoulli-mask dropout falls off an XLA fusion
+            # cliff in this stack's backward (~10x); HwDropout stays at peak
+            x = HwDropout(self.dropout_rate)(x, deterministic=not train)
         return x
