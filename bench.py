@@ -1,20 +1,31 @@
 """Benchmark: stage-1 OICR+ training step throughput on one real TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints JSON lines {"metric", "value", "unit", "vs_baseline"}; the LAST line is
+the graded result. Lines are emitted incrementally — one after the very first
+timed superstep, then refined as more supersteps complete — so a driver-side
+timeout still grades the last complete measurement instead of nothing
+(round 4's rc=124/parsed=null failure mode, VERDICT.md r4 missing #1).
 
-Measured program: the full jitted train step (4-view VGG16 forward, ROIPool over
-4k proposals x 4 views, WSDDN MIL + K=4 MIST/refine losses, backward, SGD
-update) at the reference's production shapes (voc07_oicr_plus.yaml: min-size
-~688, 4000 proposals, batch 1 image/chip like the reference's 1 image/GPU).
+Measured program: the full jitted train step (4-view VGG16 forward, ROIPool
+over 4k proposals x 4 views, WSDDN MIL + K=4 MIST/refine losses, backward,
+SGD update) at the reference's production shapes (voc07_oicr_plus.yaml:
+min-size ~688, 4000 proposals, batch 1 image/chip like the reference's
+1 image/GPU; reference run script: uwsod/run/code_release/oicr_plus_voc07.sh).
 
-Steps are executed as lax.scan supersteps (SOS_BENCH_SCAN=32, one dispatch
-per 32 optimizer steps) — the production trainer configuration for
-remote-attached chips, where per-dispatch host/tunnel overhead (~1 s measured
-r4) would otherwise add ~45% to the ~318 ms of device compute per step. The
-bench superstep replays ONE device-resident batch per sub-step (HBM stays
-O(B); the production trainer scans distinct images). Timing is closed with a
-device_get of the final metrics (a host readback is the only true
-synchronization through the axon tunnel; block_until_ready can return early).
+Steps are executed as lax.scan supersteps (SOS_BENCH_SCAN=32, one dispatch per
+32 optimizer steps) — the production trainer configuration for remote-attached
+chips, where per-dispatch host/tunnel overhead (~1 s measured r4) would
+otherwise add ~45% to the ~300 ms of device compute per step. The bench
+superstep replays ONE device-resident batch per sub-step (HBM stays O(B); the
+production trainer scans distinct images). Timing is closed with a device_get
+of the final metrics (a host readback is the only true synchronization through
+the axon tunnel; block_until_ready can return early).
+
+Wall-clock budget: the whole bench caps itself at SOS_BENCH_DEADLINE_SECS
+(default 480 s) AFTER compile completes; compile itself is unbounded but hits
+the persistent compile cache (the step takes ~10 min to compile cold through
+the TPU tunnel, seconds when cached — the round's last act re-runs bench.py
+after the final model-affecting commit precisely to leave that cache warm).
 
 Baseline: the reference publishes no throughput numbers (SURVEY.md §6). We use
 a fixed 2.0 images/sec/GPU estimate for the reference's stage-1 multi-view
@@ -26,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -37,10 +49,30 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 # scan=32 amortizes the ~1 s/dispatch axon-tunnel overhead to ~31 ms/step
 # (r4 measured: scan=8 -> 2.27 img/s, scan=32 -> 2.861; device time is
-# ~318 ms/step either way). Production on locally-attached chips is
+# ~300 ms/step either way). Production on locally-attached chips is
 # insensitive to this; the tunnel is a bench-environment artifact.
 SCAN_STEPS = int(os.environ.get("SOS_BENCH_SCAN", "32"))
 BATCH = int(os.environ.get("SOS_BENCH_BATCH", "1"))  # images per chip
+DEADLINE = float(os.environ.get("SOS_BENCH_DEADLINE_SECS", "480"))
+MAX_SUPERSTEPS = int(os.environ.get("SOS_BENCH_ITERS", "4"))
+BASELINE_IMGS_PER_SEC = 2.0  # assumed reference GPU rate (module docstring)
+
+
+def _emit(imgs_per_sec: float, prev: float, extra: dict | None = None) -> None:
+    """Print one graded JSON line and flush (the driver reads the tail)."""
+    rec = {
+        "metric": "stage1_train_images_per_sec_per_chip",
+        "value": round(imgs_per_sec, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
+    }
+    if prev:
+        # regression tripwire: a perf-default change must not land blind
+        # again (round 3 shipped a silent -21%; see VERDICT.md r3 weak #1)
+        rec["delta_vs_prev"] = round((imgs_per_sec - prev) / prev, 3)
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec), flush=True)
 
 
 def main():
@@ -51,6 +83,8 @@ def main():
     from sos_wsod_tpu.models.meta.rcnn_wsl import MultiInputRCNN
     from sos_wsod_tpu.solver.build import torch_sgd, warmup_multistep_lr
     from __graft_entry__ import _tiny_image_batch
+
+    prev = _prev_round_value()
 
     # production stage-1 shapes: scale1 688x1024, scale2 576x864, P=4096
     rng = np.random.RandomState(0)
@@ -90,32 +124,33 @@ def main():
                                       scan_steps=1)
     key = jax.random.key(2, impl="unsafe_rbg")  # hw-RNG dropout (TPU.PRNG_IMPL)
 
-    # warmup / compile; device_get is the true sync point through the tunnel
+    print(f"bench: compiling (scan={SCAN_STEPS}, batch={BATCH})...",
+          file=sys.stderr, flush=True)
+    t_c = time.perf_counter()
+    # warmup executes compile + one superstep; device_get is the true sync
+    # point through the tunnel
     state, m = step(state, batch, key)
     jax.device_get(m)
+    print(f"bench: warmup done in {time.perf_counter() - t_c:.1f}s",
+          file=sys.stderr, flush=True)
 
-    # supersteps; 4 x SCAN_STEPS=8 -> 32 optimizer steps / images by default
-    iters = int(os.environ.get("SOS_BENCH_ITERS", "4"))
+    # Timed supersteps, one at a time, emitting a cumulative estimate after
+    # EACH — the first line lands ~SCAN_STEPS*0.35s after compile, so a
+    # driver timeout after that point still grades a complete measurement.
+    deadline = time.perf_counter() + DEADLINE
     t0 = time.perf_counter()
-    for i in range(iters):
+    done = 0
+    for i in range(MAX_SUPERSTEPS):
         state, m = step(state, batch, jax.random.fold_in(key, i))
-    jax.device_get(m)
-    dt = time.perf_counter() - t0
-
-    imgs_per_sec = iters * SCAN_STEPS * BATCH / dt
-    baseline = 2.0  # assumed reference GPU images/sec (see module docstring)
-    rec = {
-        "metric": "stage1_train_images_per_sec_per_chip",
-        "value": round(imgs_per_sec, 3),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(imgs_per_sec / baseline, 3),
-    }
-    prev = _prev_round_value()
-    if prev:
-        # regression tripwire: a perf-default change must not land blind
-        # again (round 3 shipped a silent -21%; see VERDICT.md r3 weak #1)
-        rec["delta_vs_prev"] = round((imgs_per_sec - prev) / prev, 3)
-    print(json.dumps(rec))
+        jax.device_get(m)
+        done += 1
+        dt = time.perf_counter() - t0
+        _emit(done * SCAN_STEPS * BATCH / dt, prev,
+              {"supersteps": done, "scan": SCAN_STEPS, "batch": BATCH})
+        if time.perf_counter() > deadline:
+            print("bench: internal deadline reached, stopping early",
+                  file=sys.stderr, flush=True)
+            break
 
 
 def _prev_round_value() -> float:

@@ -47,13 +47,29 @@ _masked_scale.defvjp(_masked_scale_fwd, _masked_scale_bwd)
 
 def hw_dropout(x: jnp.ndarray, key: jax.Array, rate: float) -> jnp.ndarray:
     """Train-mode dropout: zero with probability ``rate``, scale kept values
-    by 1/keep. Keep probability is quantized to 1/256 (exact at rate=0.5)."""
+    by 1/keep. Keep probability is quantized to 1/256 (exact at rate=0.5).
+
+    Reverse-mode only: the saved-mask ``custom_vjp`` has no JVP rule, so
+    ``jax.jvp``/``jacfwd`` through this op raises — use ``flax.linen.Dropout``
+    if forward-mode AD is ever needed.
+
+    Rates whose keep probability is not a multiple of 1/256 are rounded to the
+    nearest (and clamped to [1/256, 255/256]); if that moves the keep
+    probability by more than 1/512 — e.g. rate=0.001 would silently quadruple
+    to an effective 1/256 — raise instead of training a different model than
+    configured.
+    """
     if rate <= 0.0:
         return x
     if rate >= 1.0:
         return jnp.zeros_like(x)
     keep = 1.0 - rate
     thresh = max(1, min(255, round(keep * 256)))
+    if abs(thresh / 256.0 - keep) > 1.0 / 512.0:
+        raise ValueError(
+            f"hw_dropout rate={rate} quantizes to effective keep "
+            f"{thresh}/256={thresh / 256.0:.6f} (configured keep {keep:.6f}); "
+            "use flax.linen.Dropout for rates this far off the 1/256 grid")
     bits = jax.random.bits(key, x.shape, jnp.uint8)
     scale = jnp.asarray(256.0 / thresh, x.dtype)  # 1/quantized-keep
     mask = jnp.where(bits < thresh, scale, jnp.zeros_like(scale))
@@ -62,7 +78,9 @@ def hw_dropout(x: jnp.ndarray, key: jax.Array, rate: float) -> jnp.ndarray:
 
 class HwDropout(nn.Module):
     """Drop-in for ``flax.linen.Dropout`` (rng collection ``'dropout'``) using
-    the peak-rate formulation above. Use on hot paths feeding matmuls."""
+    the peak-rate formulation above. Use on hot paths feeding matmuls.
+    Reverse-mode AD only (see ``hw_dropout``); rate must sit within 1/512 of
+    the 1/256 keep-probability grid (0.5 is exact)."""
 
     rate: float
 

@@ -35,7 +35,7 @@ FLOPS_STEP = 2 * N * K * F * 3 + 2 * N * F * F * 3  # fwd + dgrad + wgrad, fc1+f
 
 
 def run(name, loss_fn, params, x, iters=8):
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(params, x, key):
         # grad wrt params AND x (the real step needs d_pooled for the pool bwd)
         (l, _), g = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
