@@ -307,6 +307,34 @@ def roi_pool(
     return jnp.transpose(out, (0, 3, 1, 2))  # (P, C, PH, PW)
 
 
+def _pool_row_chunks() -> int:
+    """Row-chunk count for the multi-view pool's gather/scatter, from
+    SOS_POOL_ROW_CHUNKS (default 1 = unchunked). With n > 1 each view's
+    corner gather (fwd) and update build + scatter (bwd) run as n sequential
+    row blocks, capping the live (nc, rows, C) temporaries at 1/n of the
+    unchunked ~820 MB/view — the term that makes batch-4 training OOM 16 GB
+    HBM (BASELINE.md r4 B-table). The chunks are a static Python loop (no
+    lax.map: its while-loop serialization cost ~25% of the step when tried
+    on the per-ROI axis, see ``roi_pool``'s chunk arg); total gather/scatter
+    rows are unchanged, so throughput at B=1 is within noise (measured r5)."""
+    n = int(os.environ.get("SOS_POOL_ROW_CHUNKS", "1") or 1)
+    return max(1, n)
+
+
+def _chunk_slices(total: int, n: int):
+    """Split range(total) into n contiguous (start, size) row blocks; the
+    first blocks absorb the remainder so every size stays shape-static."""
+    if n <= 1 or n > total:
+        return [(0, total)]
+    base, rem = divmod(total, n)
+    out, start = [], 0
+    for i in range(n):
+        size = base + (1 if i < rem else 0)
+        out.append((start, size))
+        start += size
+    return out
+
+
 def _pool_num_corners() -> int:
     """Default corner-decomposition arity for the multi-view pool, from
     SOS_POOL_CORNERS. 4 (default) uses doubling-H x doubling-W tables
@@ -421,16 +449,16 @@ def _table_chain_bwd(t_flat, dt_flat, h, w, lh, lw, nc):
     return drow  # unreachable (lh >= 1)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _roi_pool_multi(spatial_scale, output_size, nc, feats, boxes, valid,
-                    row_scale):
-    out, _ = _roi_pool_multi_fwd(spatial_scale, output_size, nc, feats,
-                                 boxes, valid, row_scale)
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _roi_pool_multi(spatial_scale, output_size, nc, nchunks, feats, boxes,
+                    valid, row_scale):
+    out, _ = _roi_pool_multi_fwd(spatial_scale, output_size, nc, nchunks,
+                                 feats, boxes, valid, row_scale)
     return out
 
 
-def _roi_pool_multi_fwd(spatial_scale, output_size, nc, feats, boxes, valid,
-                        row_scale):
+def _roi_pool_multi_fwd(spatial_scale, output_size, nc, nchunks, feats,
+                        boxes, valid, row_scale):
     ph_out, pw_out = output_size
     v, p = boxes.shape[0], boxes.shape[1]
     c = feats[0].shape[-1]
@@ -446,40 +474,52 @@ def _roi_pool_multi_fwd(spatial_scale, output_size, nc, feats, boxes, valid,
             (p, ph_out * pw_out)).reshape(-1)
     outs, wins = [], []
     for i in range(v):
-        g = jnp.take(tables[i], idxs[i], axis=0)   # (nc, B_i, C) flat rows
-        # ONE variadic reduce produces max and first-winning-corner
-        # together: separate jnp.max + jnp.argmax stream the gather output
-        # through HBM twice (~31 ms/step at production shapes).
-        iota = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0)
+        out_cs, win_cs = [], []
+        # row-chunked gather (SOS_POOL_ROW_CHUNKS): caps the live
+        # (nc, rows, C) gather output at 1/nchunks of a view — the term that
+        # OOMs batch-4 training when unchunked (see _pool_row_chunks)
+        for s0, sz in _chunk_slices(idxs[i].shape[1], nchunks):
+            g = jnp.take(tables[i], idxs[i][:, s0:s0 + sz], axis=0)
+            # ONE variadic reduce produces max and first-winning-corner
+            # together: separate jnp.max + jnp.argmax stream the gather
+            # output through HBM twice (~31 ms/step at production shapes).
+            iota = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0)
 
-        def _pick(a, b):
-            av, ai = a
-            bv, bi = b
-            take_a = (av > bv) | ((av == bv) & (ai <= bi))
-            return (jnp.where(take_a, av, bv), jnp.where(take_a, ai, bi))
+            def _pick(a, b):
+                av, ai = a
+                bv, bi = b
+                take_a = (av > bv) | ((av == bv) & (ai <= bi))
+                return (jnp.where(take_a, av, bv), jnp.where(take_a, ai, bi))
 
-        out_pre, win_i = jax.lax.reduce(
-            (g, iota), (jnp.asarray(-jnp.inf, g.dtype),
-                        jnp.int32(idxs[i].shape[0])),
-            _pick, (0,))
-        # winner-corner residual: index of the FIRST corner attaining the
-        # max, stored as bf16 (8-bit tensors hit Mosaic's emulated int8
-        # path); nc-x smaller than keeping g (822 MB vs 3.3 GB at production
-        # shapes) — the full-g residual variant OOMs 16 GB HBM alongside the
-        # DAN activations. Routing the cotangent to the first tied corner
-        # (vs jnp.max's even split) is a subgradient-level choice only:
-        # corners overlap, so ties are overwhelmingly the SAME feature cell
-        # seen through two blocks, and the table chain backward sums both
-        # routes back to that one cell.
-        wins.append(win_i.astype(feats[0].dtype))
-        out = out_pre if row_scale is None else out_pre * scale[:, None]
-        outs.append(
-            jnp.where(masks[i][:, None], out, 0.0).astype(feats[0].dtype))
+            out_pre, win_i = jax.lax.reduce(
+                (g, iota), (jnp.asarray(-jnp.inf, g.dtype),
+                            jnp.int32(idxs[i].shape[0])),
+                _pick, (0,))
+            # winner-corner residual: index of the FIRST corner attaining
+            # the max, stored as bf16 (8-bit tensors hit Mosaic's emulated
+            # int8 path); nc-x smaller than keeping g (822 MB vs 3.3 GB at
+            # production shapes) — the full-g residual variant OOMs 16 GB
+            # HBM alongside the DAN activations. Routing the cotangent to
+            # the first tied corner (vs jnp.max's even split) is a
+            # subgradient-level choice only: corners overlap, so ties are
+            # overwhelmingly the SAME feature cell seen through two blocks,
+            # and the table chain backward sums both routes back to that
+            # one cell.
+            win_cs.append(win_i.astype(feats[0].dtype))
+            out = out_pre if row_scale is None \
+                else out_pre * scale[s0:s0 + sz, None]
+            out_cs.append(
+                jnp.where(masks[i][s0:s0 + sz, None], out, 0.0)
+                .astype(feats[0].dtype))
+        wins.append(win_cs[0] if len(win_cs) == 1
+                    else jnp.concatenate(win_cs, axis=0))
+        outs.append(out_cs[0] if len(out_cs) == 1
+                    else jnp.concatenate(out_cs, axis=0))
     out = jnp.concatenate(outs, axis=0).reshape(v, p, ph_out, pw_out, c)
     return out, (tuple(wins), tuple(tables), feats, boxes, valid, row_scale)
 
 
-def _roi_pool_multi_bwd(spatial_scale, output_size, nc, res, ct):
+def _roi_pool_multi_bwd(spatial_scale, output_size, nc, nchunks, res, ct):
     ph_out, pw_out = output_size
     wins, tables, feats, boxes, valid, row_scale = res
     v, p = boxes.shape[0], boxes.shape[1]
@@ -504,11 +544,16 @@ def _roi_pool_multi_bwd(spatial_scale, output_size, nc, res, ct):
         # layout. NOTE the winner corner is PER-CHANNEL (max is
         # per-channel), so the scatter cannot be collapsed to one winner row
         # per bin — each corner row carries the channels that corner won.
-        updates = jnp.stack(
-            [jnp.where(wins[i] == k, ct_i, jnp.asarray(0.0, dtype))
-             for k in range(nc)])
-        dt = jnp.zeros((rows, c), dtype).at[idxs[i].reshape(-1)].add(
-            updates.reshape(-1, c))
+        # Row-chunked like the forward (SOS_POOL_ROW_CHUNKS): the stacked
+        # update tensor is the backward's 820 MB/view temp.
+        dt = jnp.zeros((rows, c), dtype)
+        for s0, sz in _chunk_slices(idxs[i].shape[1], nchunks):
+            updates = jnp.stack(
+                [jnp.where(wins[i][s0:s0 + sz] == k, ct_i[s0:s0 + sz],
+                           jnp.asarray(0.0, dtype))
+                 for k in range(nc)])
+            dt = dt.at[idxs[i][:, s0:s0 + sz].reshape(-1)].add(
+                updates.reshape(-1, c))
         if os.environ.get("SOS_POOL_BWD", "chain") == "rebuild":
             # A/B alternative: autodiff of the table build (re-runs the
             # lh*lw shift-max chain inside the backward instead of routing
@@ -526,7 +571,8 @@ _roi_pool_multi.defvjp(_roi_pool_multi_fwd, _roi_pool_multi_bwd)
 
 
 @partial(jax.jit, static_argnames=("spatial_scale", "output_size",
-                                   "channels_last", "num_corners"))
+                                   "channels_last", "num_corners",
+                                   "row_chunks"))
 def roi_pool_multi(
     feats,
     boxes: jnp.ndarray,
@@ -537,6 +583,7 @@ def roi_pool_multi(
     output_size: Tuple[int, int] = (7, 7),
     channels_last: bool = True,
     num_corners: int = 0,
+    row_chunks: int = 0,
 ):
     """ROI max pool over V synchronized views in ONE gather/scatter pair.
 
@@ -572,8 +619,9 @@ def roi_pool_multi(
     """
     nc = num_corners or _pool_num_corners()
     assert nc in (2, 4), nc
-    out = _roi_pool_multi(spatial_scale, output_size, nc, tuple(feats),
-                          boxes, valid, row_scale)
+    nchunks = row_chunks or _pool_row_chunks()
+    out = _roi_pool_multi(spatial_scale, output_size, nc, nchunks,
+                          tuple(feats), boxes, valid, row_scale)
     if channels_last:
         return out
     return jnp.transpose(out, (0, 1, 4, 2, 3))
