@@ -322,6 +322,11 @@ def get_default_cfg() -> CN:
     # shape qualifies (ops/pallas/roi_pool_fused.py), else the XLA doubling
     # table; "table" / "pallas" force one path
     _C.TPU.POOL_IMPL = "auto"
+    # row-chunk count for the multi-view pool's gather/scatter: >1 caps the
+    # live gathered-corner temporaries at 1/n of ~820 MB/view, required for
+    # per-chip batch >= 4 in 16 GB HBM (ops/roi_pool.py:_pool_row_chunks);
+    # 0 = the SOS_POOL_ROW_CHUNKS env default (1 = unchunked)
+    _C.TPU.POOL_ROW_CHUNKS = 0
     # optimizer steps executed per dispatch (lax.scan superstep) — amortizes
     # the per-execute host/tunnel overhead; periods (checkpoint/eval/writer)
     # should be multiples of this

@@ -249,6 +249,9 @@ class OICRPlusHead(nn.Module):
     iou_labels: Sequence[int] = (0, -1, 1)
     seed_cap: int = 1024
     dan_dims: Sequence[int] = (4096, 4096)
+    # 0.5 like the reference box_head (box_head.py:62-75); tests set 0 to make
+    # composed train-step goldens deterministic on both sides
+    dan_dropout: float = 0.5
     # fused_pool: pooled features arrive channels-last (.., P, PH, PW, C) with
     # the objectness weighting already fused into the pooler epilogue
     # (ops/roi_pool.py row_scale) — the TPU fast path, saving a full pass
@@ -262,6 +265,7 @@ class OICRPlusHead(nn.Module):
             raise ValueError(
                 f"WSL.MIST_TYPE must be 'nms' or 'wetectron', got {self.mist_type!r}")
         self.dan = DAN(fc_dims=tuple(self.dan_dims),
+                       dropout_rate=self.dan_dropout,
                        channels_last=self.fused_pool, dtype=self.dtype)
         self.wsddn = WSDDNHead(self.num_classes, dtype=self.dtype)
         self.refine = [

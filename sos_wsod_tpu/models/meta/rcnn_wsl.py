@@ -36,6 +36,7 @@ class MultiInputRCNN(nn.Module):
     pooler_type: str = "ROIPool"
     pooler_resolution: int = 7
     pool_impl: str = "auto"  # TPU.POOL_IMPL: auto | table | pallas
+    pool_row_chunks: int = 0  # TPU.POOL_ROW_CHUNKS; 0 = env default
     refine_k: int = 4
     refine_reg: Sequence[bool] = (True, True, True, True)
     refine_mist: bool = True
@@ -46,6 +47,7 @@ class MultiInputRCNN(nn.Module):
     mean_loss: bool = True
     seed_cap: int = 1024
     dan_dims: Sequence[int] = (4096, 4096)
+    dan_dropout: float = 0.5  # tests set 0 for deterministic goldens
     score_thresh: float = 1e-6
     nms_thresh: float = 0.3
     detections_per_image: int = 100
@@ -70,6 +72,7 @@ class MultiInputRCNN(nn.Module):
             mean_loss=self.mean_loss,
             seed_cap=self.seed_cap,
             dan_dims=tuple(self.dan_dims),
+            dan_dropout=self.dan_dropout,
             fused_pool=self.pooler_type == "ROIPool",
             dtype=self.dtype,
         )
@@ -140,6 +143,7 @@ class MultiInputRCNN(nn.Module):
                 views, boxes, pv, obn,
                 spatial_scale=1.0 / self.stride,
                 output_size=(self.pooler_resolution, self.pooler_resolution),
+                row_chunks=self.pool_row_chunks,
             )
         else:
             pooled = jnp.stack(
@@ -185,6 +189,7 @@ class MultiInputRCNN(nn.Module):
             pooler_type=cfg.MODEL.ROI_BOX_HEAD.POOLER_TYPE,
             pooler_resolution=cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
             pool_impl=getattr(cfg.TPU, "POOL_IMPL", "auto"),
+            pool_row_chunks=int(getattr(cfg.TPU, "POOL_ROW_CHUNKS", 0) or 0),
             refine_k=cfg.WSL.REFINE_NUM,
             refine_reg=tuple(cfg.WSL.REFINE_REG),
             refine_mist=cfg.WSL.REFINE_MIST,

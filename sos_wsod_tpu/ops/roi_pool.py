@@ -613,6 +613,12 @@ def roi_pool_multi(
         valid: (P,) shared proposal validity.
         row_scale: optional (P,) fused epilogue scale (objectness weighting;
             no gradient — stage-1 objectness is input data, never trained).
+        row_chunks: >1 splits each view's gather (fwd) and update-build +
+            scatter (bwd) into that many sequential row blocks, capping the
+            live (nc, rows, C) temporaries at 1/n of ~820 MB/view — required
+            for per-chip batch >= 4 (see ``_pool_row_chunks``). 0 = the
+            SOS_POOL_ROW_CHUNKS env default (1 = unchunked). Outputs and
+            gradients are identical for any value.
     Returns:
         (V, P, PH, PW, C) pooled features, or (V, P, C, PH, PW) when
         ``channels_last=False``.

@@ -95,3 +95,57 @@ def build_case():
         lin(f"roi_heads.box_refinery_{k}.bbox_pred",
             NUM_CLASSES * 4, 4096, 0.001, 0.0)
     return image, rois, objectness, blobs
+
+
+# ------------------------------------------------- composed TRAINING golden
+H2, W2 = 80, 112          # second scale (both multiples of 16 like H, W)
+GT_CLASSES = (1, 7, 11)   # image-level present classes
+
+
+def build_train_case():
+    """Inputs for the composed stage-1 TRAINING golden: the 4 synchronized
+    views (2 scales x {id, hflip}) the reference's OICRPlusHeads trains on
+    (roi_heads_oicrplus.py:190-425), plus WSDDN MIL head weights on top of
+    ``build_case``'s backbone/DAN/refinery blobs.
+
+    Returns (image (H,W,3) BGR raw scale 1, image2 (H2,W2,3) scale 2,
+    boxes4 (4,P,4) per-view XYXY [s1, s1f, s2, s2f], objectness (P,),
+    gt_oh (K,), blobs). The scale-2 image is an independent random draw —
+    the training graph runs each view through the same ops regardless of
+    pixel correspondence, and an independent image avoids baking one
+    resize algorithm into the golden."""
+    image, rois, objectness, blobs = build_case()
+    rng = np.random.RandomState(57)
+    image2 = rng.uniform(0, 255, (H2, W2, 3)).astype(np.float32)
+    for name in ("cls", "det"):
+        # xavier_uniform bound for (out=K, in=4096)
+        bound = float(np.sqrt(6.0 / (NUM_CLASSES + 4096)))
+        blobs[f"roi_heads.box_predictor.{name}.weight"] = rng.uniform(
+            -bound, bound, (NUM_CLASSES, 4096)).astype(np.float32)
+        blobs[f"roi_heads.box_predictor.{name}.bias"] = np.zeros(
+            NUM_CLASSES, np.float32)
+
+    # fresh interior boxes (NOT build_case's mixed_rois): proposals whose
+    # pooled window falls outside the 11x15 feature map pool to all-zeros,
+    # and several zero-feature proposals tie BITWISE in the WSDDN scores —
+    # torch.topk and lax.top_k then break the mining top-1 differently and
+    # the golden would anchor an arbitrary tie. Interior boxes with >= 12 px
+    # extents keep every pooled feature distinct.
+    b1 = np.empty((P, 4), np.float32)
+    x1 = rng.uniform(0, W - 28, P)
+    y1 = rng.uniform(0, H - 28, P)
+    b1[:, 0], b1[:, 1] = x1, y1
+    b1[:, 2] = np.minimum(x1 + rng.uniform(12, W / 2, P), W - 12)
+    b1[:, 3] = np.minimum(y1 + rng.uniform(12, H / 2, P), H - 12)
+    b1[0] = [0, 0, W - 12, H - 12]  # near-full extent
+    sx, sy = W2 / W, H2 / H
+    b2 = b1 * np.array([sx, sy, sx, sy], np.float32)
+    b1f = b1.copy()
+    b1f[:, [0, 2]] = W - b1[:, [2, 0]]
+    b2f = b2.copy()
+    b2f[:, [0, 2]] = W2 - b2[:, [2, 0]]
+    boxes4 = np.stack([b1, b1f, b2, b2f]).astype(np.float32)
+
+    gt_oh = np.zeros(NUM_CLASSES, np.float32)
+    gt_oh[list(GT_CLASSES)] = 1.0
+    return image, image2, boxes4, objectness, gt_oh, blobs

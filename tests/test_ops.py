@@ -231,6 +231,24 @@ def test_roi_pool_multi_matches_per_view(num_corners):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
 
+    # row-chunked variant (SOS_POOL_ROW_CHUNKS / TPU.POOL_ROW_CHUNKS): fwd is
+    # bit-identical (chunking only slices the gather); grads match to ULP
+    # (chunked scatter-adds accumulate duplicate table rows in a different
+    # order). 3 does not divide P*49, exercising remainder-absorbing slicing.
+    for chunks in (3, 8):
+        def multi_c(fs, n=chunks):
+            return roi_pool_multi(fs, jnp.asarray(boxes), jnp.asarray(valid),
+                                  jnp.asarray(rs), spatial_scale=scale,
+                                  output_size=(7, 7),
+                                  num_corners=num_corners, row_chunks=n)
+
+        np.testing.assert_array_equal(np.asarray(multi_c(tuple(feats))),
+                                      np.asarray(out_m))
+        gc = jax.grad(lambda fs: jnp.vdot(multi_c(fs), ct))(tuple(feats))
+        for a, b in zip(gc, gm):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-6)
+
 
 # ----------------------------------------------------------------- roi align
 @pytest.mark.parametrize("sampling_ratio", [2, 0])

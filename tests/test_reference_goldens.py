@@ -354,3 +354,90 @@ def test_oicr_plus_composed_forward_matches_reference():
                                rtol=1e-3, atol=2e-4)
     np.testing.assert_allclose(np.asarray(pred_boxes), z["pred_boxes"],
                                rtol=1e-4, atol=2e-2)
+
+
+def test_oicr_plus_composed_train_matches_reference():
+    """COMPOSED TRAINING-step golden (VERDICT r4 missing #2): our jitted
+    4-view loss — MIL BCE, K=4 rounds of MIST mining / IoU labeling /
+    weighted CE + L1 reg with the view-3-uses-view-2 quirk — vs the
+    reference's training graph replayed in plain torch + the compiled
+    reference pooling kernel on SHARED weights
+    (roi_heads_oicrplus.py:190-425, fast_rcnn_wsddn.py:340-375,
+    fast_rcnn_oicr.py:258-352). Asserts every loss term, and each round's
+    mined seed SET / per-proposal labels / weights via our mining + matcher
+    fed the golden's recorded prev scores — a mining divergence is invisible
+    to kernel goldens and fatal to final mAP."""
+    if not (GOLD / "oicr_plus_train.npz").exists():
+        pytest.skip("oicr_plus_train golden not generated")
+    import jax
+
+    from sos_wsod_tpu.core.matcher import Matcher
+    from sos_wsod_tpu.engine.weights import merge_pretrained, vgg_wsl_param_tree
+    from sos_wsod_tpu.models.heads.oicr_plus import (
+        label_and_sample, mist_mining)
+    from sos_wsod_tpu.models.meta.rcnn_wsl import MultiInputRCNN
+
+    from model_golden_case import (
+        H, H2, NUM_CLASSES, P, REFINE_K, W, W2, build_train_case)
+
+    z = _load("oicr_plus_train.npz")
+    image, image2, boxes4, objectness, gt_oh, blobs = build_train_case()
+    sums = np.array(
+        [image.sum(), image2.sum(), boxes4.sum(), objectness.sum(),
+         gt_oh.sum(),
+         float(sum(v.astype(np.float64).sum() for v in blobs.values()))],
+        np.float64)
+    np.testing.assert_allclose(sums, z["case_sums"], rtol=1e-12)
+
+    # ---- intermediate discrete choices: our mining + matcher on the
+    # golden's recorded per-round prev scores (the functions the jitted loss
+    # calls, exercised in isolation so a flip is attributable)
+    pv = jnp.ones(P, bool)
+    for k in range(REFINE_K):
+        gt = mist_mining(jnp.asarray(z[f"prev_r{k}"]),
+                         jnp.asarray(boxes4[0]), pv, jnp.asarray(gt_oh),
+                         mist_p=0.10, mist_thre=0.05, seed_cap=64)
+        got = {(int(c), int(i)) for c, i, v in
+               zip(np.asarray(gt.classes), np.asarray(gt.index),
+                   np.asarray(gt.valid)) if v}
+        want = set(zip(z[f"seed_cls_r{k}"].tolist(),
+                       z[f"seed_idx_r{k}"].tolist()))
+        assert got == want, f"round {k} seed set: {got} != {want}"
+
+        cls, weights, index, _ = label_and_sample(
+            gt, jnp.asarray(boxes4[0]), pv,
+            Matcher([0.5, 0.6], [0, -1, 1]), NUM_CLASSES)
+        np.testing.assert_array_equal(np.asarray(cls), z[f"labels_r{k}"])
+        np.testing.assert_allclose(np.asarray(weights), z[f"weights_r{k}"],
+                                   rtol=1e-5, atol=1e-7)
+        fg = z[f"labels_r{k}"] >= 0
+        np.testing.assert_array_equal(np.asarray(index)[fg],
+                                      z[f"index_r{k}"][fg])
+
+    # ---- end-to-end: the jitted composed loss on shared weights
+    model = MultiInputRCNN(num_classes=NUM_CLASSES, seed_cap=64,
+                           dan_dropout=0.0, dtype=jnp.float32)
+    batch = {
+        "images_s1": jnp.asarray(np.stack([image, image[:, ::-1]])),
+        "images_s2": jnp.asarray(np.stack([image2, image2[:, ::-1]])),
+        "valid_hw_s1": jnp.asarray([[H, W], [H, W]], jnp.int32),
+        "valid_hw_s2": jnp.asarray([[H2, W2], [H2, W2]], jnp.int32),
+        "boxes": jnp.asarray(boxes4),
+        "objectness": jnp.asarray(objectness),
+        "prop_valid": pv,
+        "gt_classes_oh": jnp.asarray(gt_oh),
+    }
+    params = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                        train=True)["params"]
+    params = merge_pretrained(params, vgg_wsl_param_tree(blobs))
+    losses = jax.jit(
+        lambda p, b: model.apply({"params": p}, b, train=True))(params, batch)
+
+    want = dict(zip(z["loss_names"].tolist(),
+                    z["loss_values"].tolist()))
+    got = {k: float(v) for k, v in losses.items() if k.startswith("loss")}
+    assert set(got) == set(want), (sorted(got), sorted(want))
+    for name in sorted(want):
+        np.testing.assert_allclose(
+            got[name], want[name], rtol=2e-3, atol=2e-5,
+            err_msg=f"loss term {name}")

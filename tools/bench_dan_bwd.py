@@ -35,6 +35,10 @@ FLOPS_STEP = 2 * N * K * F * 3 + 2 * N * F * F * 3  # fwd + dgrad + wgrad, fc1+f
 
 
 def run(name, loss_fn, params, x, iters=8):
+    # donation consumes the buffers — give each A/B run its own copy so the
+    # caller's params survive for the next variant
+    params = jax.tree_util.tree_map(lambda a: jnp.array(a), params)
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(params, x, key):
         # grad wrt params AND x (the real step needs d_pooled for the pool bwd)
@@ -144,12 +148,47 @@ def main():
         h = h * jax.random.bernoulli(key, 0.5, h.shape).astype(h.dtype) * 2.0
         return jnp.sum(h.astype(jnp.float32)) * 1e-6, None
 
+    # the production dropout (ops/dropout.py hw_dropout: uint8-bits mask via
+    # a saved-mask custom_vjp) — the variant the model actually runs
+    import sys as _sys
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from sos_wsod_tpu.ops.dropout import hw_dropout
+
+    def loss_hwdrop(params, x, key):
+        h = jnp.dot(x, params["w1"].astype(jnp.bfloat16)) \
+            + params["b1"].astype(jnp.bfloat16)
+        h = jax.nn.relu(h)
+        k1, key = jax.random.split(key)
+        h = hw_dropout(h, k1, 0.5)
+        h = jnp.dot(h, params["w2"].astype(jnp.bfloat16)) \
+            + params["b2"].astype(jnp.bfloat16)
+        h = jax.nn.relu(h)
+        h = hw_dropout(h, key, 0.5)
+        return jnp.sum(h.astype(jnp.float32)) * 1e-6, None
+
+    # the actual flax module (DAN: Dense + HwDropout), params as the model
+    # stores them — catches any module-level overhead the hand He loss hides
+    from sos_wsod_tpu.models.heads.dan import DAN
+
+    dan = DAN(fc_dims=(F, F), channels_last=True, dtype=jnp.bfloat16)
+    rngd = jax.random.key(1, impl="unsafe_rbg")
+    dan_params = dan.init({"params": jax.random.PRNGKey(0), "dropout": rngd},
+                          x.reshape(N, 7, 7, 512), train=True)["params"]
+
+    def loss_danmod(params, x, key):
+        h = dan.apply({"params": params}, x.reshape(N, 7, 7, 512),
+                      train=True, rngs={"dropout": key})
+        return jnp.sum(h.astype(jnp.float32)) * 1e-6, None
+
     print(f"N={N} K={K} F={F}; per-step fwd+bwd FLOP = {FLOPS_STEP/1e12:.2f} T",
           flush=True)
     run("base", loss_base, params, x)
     run("nodrop", loss_nodrop, params, x)
     run("handdot", loss_handdot, params, x)
     run("bf16wgrad", loss_bf16wgrad, params, x)
+    run("hwdrop", loss_hwdrop, params, x)
+    run("danmod", loss_danmod, dan_params, x)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,139 @@
+"""Benchmark: stage-3 SSOD (Unbiased-Teacher) student steps/sec on one chip.
+
+The second north-star metric BASELINE.json names. Measured program: the full
+jitted semisup step — EMA teacher update, teacher inference on weak unlabeled
+(RPN + ROI inference through the R50-FPN), pseudo-box thresholding, student
+forward+backward on (label_q + label_k) supervised and strong-unlabeled
+pseudo-supervised images, SGD update — at the reference's per-GPU shapes:
+`unbias/configs/code_release/voc_ssod.yaml` trains batch 8 label + 8 unlabel
+over 8 GPUs (voc_ssod.sh), i.e. 1 label + 1 unlabel pair per device; VOC
+images resized to min-size ~800 land on an ~832x1088 divisibility-64 canvas.
+
+Emits JSON lines like bench.py (incremental: a line after every superstep so
+timeouts still grade the last complete measurement):
+  {"metric": "ssod_student_steps_per_sec_per_chip", ...}
+
+The reference publishes no SSOD throughput either; the baseline denominator
+is the same style of estimate: ubteacher's R50-FPN step at batch 1+1/GPU with
+teacher inference in the loop runs ~0.55 s/iter on a V100-class GPU
+(published Unbiased-Teacher training logs report ~0.5-0.6 s/iter at 8+8 on
+8 GPUs) => ~1.8 steps/sec-equivalent per GPU. vs_baseline = steps_sec / 1.8.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_tpu_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np
+
+SCAN = int(os.environ.get("SOS_BENCH_SCAN", "8"))
+H = int(os.environ.get("SOS_SSOD_H", "832"))
+W = int(os.environ.get("SOS_SSOD_W", "1088"))
+ITERS = int(os.environ.get("SOS_BENCH_ITERS", "4"))
+DEADLINE = float(os.environ.get("SOS_BENCH_DEADLINE_SECS", "480"))
+BASELINE_STEPS_PER_SEC = 1.8
+
+
+def _image_batch(rng, b, h, w, g=32):
+    import jax
+    import jax.numpy as jnp
+
+    out = []
+    for _ in range(b):
+        gt_boxes = np.zeros((g, 4), np.float32)
+        gt_classes = np.zeros((g,), np.int32)
+        gt_valid = np.zeros((g,), bool)
+        for i in range(4):
+            x1, y1 = rng.uniform(0, w - 120, 2)
+            wd, ht = rng.uniform(30, 110, 2)
+            gt_boxes[i] = [x1, y1, x1 + wd, y1 + ht]
+            gt_classes[i] = rng.randint(20)
+            gt_valid[i] = True
+        out.append({
+            "image": rng.uniform(0, 255, (h, w, 3)).astype(np.float32),
+            "image_hw": np.array([h, w], np.float32),
+            "gt_boxes": gt_boxes, "gt_classes": gt_classes,
+            "gt_valid": gt_valid,
+            "multi_label_oh": np.ones(20, np.float32),
+        })
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *out)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from sos_wsod_tpu.engine.ubteacher import make_semisup_step
+    from sos_wsod_tpu.models.meta.rcnn import GeneralizedRCNN
+    from sos_wsod_tpu.solver.build import torch_sgd, warmup_multistep_lr
+
+    rng = np.random.RandomState(0)
+    model = GeneralizedRCNN(num_classes=20, depth=50, dtype=jnp.bfloat16)
+    batch = {
+        "label_q": _image_batch(rng, 1, H, W),
+        "label_k": _image_batch(rng, 1, H, W),
+        "unlabel_q": _image_batch(rng, 1, H, W),
+        "unlabel_k": _image_batch(rng, 1, H, W),
+    }
+    one = jax.tree_util.tree_map(lambda x: x[0], batch["label_k"])
+    params = model.init(jax.random.PRNGKey(0), one, jax.random.PRNGKey(1))["params"]
+    tx = torch_sgd(warmup_multistep_lr(0.01, (15000,)), momentum=0.9)
+    state = {
+        "params": params,
+        "teacher_params": jax.tree_util.tree_map(jnp.array, params),
+        "opt_state": tx.init(params),
+        "iter": jnp.ones((), jnp.int32),  # past burn-in: full semisup path
+    }
+    single = make_semisup_step(
+        model, tx, unsup_loss_weight=2.0, ema_keep_rate=0.9996,
+        bbox_threshold=0.7, has_multi_label=True, burn_up_step=0,
+        pseudo_cap=100, donate=False,
+    )
+    if SCAN > 1:
+        from functools import partial
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def step(state, batch, key):
+            def body(st, i):
+                return single(st, batch, jax.random.fold_in(key, i))
+
+            return jax.lax.scan(body, state, jnp.arange(SCAN))
+    else:
+        step = single
+
+    key = jax.random.key(2, impl="unsafe_rbg")
+    print(f"bench_ssod: compiling (scan={SCAN}, canvas={H}x{W})...",
+          file=sys.stderr, flush=True)
+    t_c = time.perf_counter()
+    state, m = step(state, batch, key)
+    jax.device_get(m["total_loss"])
+    print(f"bench_ssod: warmup done in {time.perf_counter() - t_c:.1f}s",
+          file=sys.stderr, flush=True)
+
+    deadline = time.perf_counter() + DEADLINE
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        state, m = step(state, batch, jax.random.fold_in(key, i))
+        jax.device_get(m["total_loss"])
+        dt = time.perf_counter() - t0
+        steps_sec = (i + 1) * SCAN / dt
+        print(json.dumps({
+            "metric": "ssod_student_steps_per_sec_per_chip",
+            "value": round(steps_sec, 3),
+            "unit": "steps/sec/chip (1 label + 1 unlabel pair per step)",
+            "vs_baseline": round(steps_sec / BASELINE_STEPS_PER_SEC, 3),
+            "supersteps": i + 1, "scan": SCAN, "canvas": [H, W],
+        }), flush=True)
+        if time.perf_counter() > deadline:
+            break
+
+
+if __name__ == "__main__":
+    main()

@@ -648,6 +648,203 @@ def gen_oicr_plus_forward(ext, out_dir):
     print("oicr_plus_forward:", feat5.shape, probs.shape, pred.shape)
 
 
+def gen_oicr_plus_train(ext, out_dir):
+    """End-to-end OICR+ TRAINING-step golden on shared random weights
+    (VERDICT r4 missing #2): the math that determines final mAP — MIL BCE,
+    MIST mining, IoU labeling, 4-view broadcast, weighted CE + L1 reg —
+    replayed in plain torch, mirroring the reference's exact call sequence:
+
+      4 views (2 scales x {id, hflip}) through the dilated-VGG16 stack
+      -> per-view RoIPool x (objectness + 1) -> DAN fc6/fc7
+         (roi_heads_oicrplus.py:195-231; dropout identity — both sides run
+         with dropout disabled so the golden is deterministic)
+      -> WSDDN MIL: softmax(C,1)*softmax(D,0), image score clamped to
+         [1e-6, 1-1e-6], BCE 'mean', averaged over the 4 views
+         (fast_rcnn_wsddn.py:340-375,558-575; WSL.MEAN_LOSS=True)
+      -> K=4 rounds (roi_heads_oicrplus.py:306-425):
+         get_pgt_mist: per present class top max(int(P*0.10),1) by score,
+           rank-0 forced kept, others need >= 0.05, then one class-agnostic
+           NMS at IoU 0.01 (:561-605, batched_nms idxs are zeros)
+         label_and_sample_proposals: d2 Matcher [0.5,0.6]/[0,-1,1], no
+           low-quality matches, PROPOSAL_APPEND_GT False
+           (configs/Base-RCNN-DilatedC5.yaml:15), weights from matched seed
+           scores zeroed at ignore (fast_rcnn_oicr.py:219-220)
+         per-view weighted CE (reduction none, ignore -1, * weights, mean)
+           and smooth-l1(beta=0) reg on fg rows vs the VIEW's own proposal
+           at the matched seed's index, / P (fast_rcnn_oicr.py:258-352);
+           view-3 losses reuse view-2 predictions (:381 quirk)
+         next prev = mean over views of per-branch softmax.
+
+    Saves every loss term, each round's prev scores, mined seed sets
+    (class, proposal index, score) and per-proposal labels/weights, so the
+    flax test can anchor both the end losses and the intermediate discrete
+    choices."""
+    import torch
+    import torch.nn.functional as F
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+    from tests.model_golden_case import (
+        GT_CLASSES, NUM_CLASSES, PIXEL_MEAN, REFINE_K, STAGES,
+        build_train_case)
+
+    image, image2, boxes4, objectness, gt_oh, blobs = build_train_case()
+    p = boxes4.shape[1]
+    pixel_mean = np.array(PIXEL_MEAN, np.float32)
+
+    def lin(name):
+        return (torch.from_numpy(blobs[name + ".weight"]),
+                torch.from_numpy(blobs[name + ".bias"]))
+
+    def backbone(img_np):
+        x = torch.from_numpy(np.ascontiguousarray(
+            (img_np - pixel_mean).transpose(2, 0, 1))[None])
+        for name, _cout, n, dil, ps in STAGES:
+            for i in range(1, n + 1):
+                w = torch.from_numpy(blobs[f"backbone.{name}.conv{i}.weight"])
+                b = torch.from_numpy(blobs[f"backbone.{name}.conv{i}.bias"])
+                x = F.relu(F.conv2d(x, w, b, stride=1, padding=dil,
+                                    dilation=dil))
+            if ps:
+                x = F.max_pool2d(x, kernel_size=2, stride=ps)
+        return x
+
+    imgs = [image, image[:, ::-1].copy(), image2, image2[:, ::-1].copy()]
+    obj = torch.from_numpy(objectness + 1.0).view(-1, 1, 1, 1)
+    fc6_w, fc6_b = lin("roi_heads.box_head.fc1")
+    fc7_w, fc7_b = lin("roi_heads.box_head.fc2")
+    fts = []
+    for v in range(4):
+        rois = np.concatenate(
+            [np.zeros((p, 1), np.float32), boxes4[v]], axis=1)
+        pooled = ext.roi_loop_pool_forward(
+            backbone(imgs[v]), torch.from_numpy(rois), 0.125, 7, 7)[0][:p]
+        pooled = pooled * obj
+        ft = F.relu(F.linear(pooled.flatten(1), fc6_w, fc6_b))
+        fts.append(F.relu(F.linear(ft, fc7_w, fc7_b)))
+
+    # WSDDN MIL over the 4 views (fast_rcnn_wsddn.py:558-575,340-358)
+    cw, cb = lin("roi_heads.box_predictor.cls")
+    dw, db = lin("roi_heads.box_predictor.det")
+    oh = torch.from_numpy(gt_oh)[None]
+    mil_terms, scores_v = [], []
+    for ft in fts:
+        s = F.softmax(F.linear(ft, cw, cb), dim=1) \
+            * F.softmax(F.linear(ft, dw, db), dim=0)
+        img_logits = torch.clamp(s.sum(0, keepdim=True),
+                                 min=1e-6, max=1.0 - 1e-6)
+        mil_terms.append(F.binary_cross_entropy(img_logits, oh,
+                                                reduction="mean"))
+        scores_v.append(s)
+    losses = {"loss_cls": (sum(mil_terms) / 4.0).item()}
+    prev = (sum(scores_v) / 4.0).detach()
+
+    def pairwise_iou(a, b):  # d2 Boxes.pairwise_iou semantics
+        area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+        area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+        wh = (torch.min(a[:, None, 2:], b[:, 2:])
+              - torch.max(a[:, None, :2], b[:, :2])).clamp(min=0)
+        inter = wh.prod(dim=2)
+        return torch.where(inter > 0,
+                           inter / (area_a[:, None] + area_b - inter),
+                           torch.zeros_like(inter))
+
+    def nms(bx, sc, thr):  # torchvision nms: greedy, suppress IoU > thr
+        order = torch.argsort(sc, descending=True)
+        supp = torch.zeros(len(sc), dtype=torch.bool)
+        keep = []
+        for i in order.tolist():
+            if supp[i]:
+                continue
+            keep.append(i)
+            supp |= pairwise_iou(bx[i:i + 1], bx)[0] > thr
+        return torch.tensor(keep, dtype=torch.long)
+
+    gt_int = torch.tensor(GT_CLASSES, dtype=torch.long)
+    boxes_t = [torch.from_numpy(boxes4[v]) for v in range(4)]
+
+    def get_pgt_mist(prev_scores):  # roi_heads_oicrplus.py:561-605 + 612-733
+        sc = prev_scores[:, gt_int]                       # (P, G)
+        top_k = max(int(p * 0.10), 1)
+        vals, idxs = torch.topk(sc, top_k, dim=0)         # (top_k, G)
+        mask = vals.ge(0.05)
+        mask[0, :] = True                                 # rank-0 forced keep
+        sel_sc = vals[mask]                               # rank-major flatten
+        sel_idx = idxs[mask]
+        sel_cls = gt_int[None, :].expand(top_k, -1)[mask]
+        sel_boxes = boxes_t[0][sel_idx]
+        keep = nms(sel_boxes, sel_sc, 0.01)
+        return (sel_boxes[keep], sel_cls[keep], sel_sc[keep].clone(),
+                sel_idx[keep])
+
+    def label_and_sample(gt_boxes, gt_cls, gt_w, gt_idx):
+        # d2 Matcher [0.5, 0.6] / [0, -1, 1], max over the gt axis
+        iou = pairwise_iou(gt_boxes, boxes_t[0])
+        vals, midx = iou.max(dim=0)
+        cls = gt_cls[midx].clone()
+        cls[vals < 0.5] = NUM_CLASSES
+        cls[(vals >= 0.5) & (vals < 0.6)] = -1
+        weights = gt_w[midx].clone()
+        weights[cls == -1] = 0.0                          # fast_rcnn_oicr:220
+        return cls, weights, gt_idx[midx]
+
+    def get_deltas(src, tgt):  # Box2BoxTransform (10, 10, 5, 5)
+        sw, sh = src[:, 2] - src[:, 0], src[:, 3] - src[:, 1]
+        scx, scy = src[:, 0] + 0.5 * sw, src[:, 1] + 0.5 * sh
+        tw, th = tgt[:, 2] - tgt[:, 0], tgt[:, 3] - tgt[:, 1]
+        tcx, tcy = tgt[:, 0] + 0.5 * tw, tgt[:, 1] + 0.5 * th
+        return torch.stack([10.0 * (tcx - scx) / sw, 10.0 * (tcy - scy) / sh,
+                            5.0 * torch.log(tw / sw),
+                            5.0 * torch.log(th / sh)], dim=1)
+
+    rec = {"prev_r0": prev.numpy()}
+    pred_view = [0, 1, 2, 2]  # view-3 losses reuse view-2 predictions (:381)
+    for k in range(REFINE_K):
+        sb, scls, ssc, sidx = get_pgt_mist(prev)
+        cls, weights, index = label_and_sample(sb, scls, ssc, sidx)
+        rec[f"seed_cls_r{k}"] = scls.numpy()
+        rec[f"seed_idx_r{k}"] = sidx.numpy()
+        rec[f"seed_score_r{k}"] = ssc.numpy()
+        rec[f"labels_r{k}"] = cls.numpy()
+        rec[f"weights_r{k}"] = weights.numpy()
+        rec[f"index_r{k}"] = index.numpy()
+
+        cwk, cbk = lin(f"roi_heads.box_refinery_{k}.cls_score")
+        bwk, bbk = lin(f"roi_heads.box_refinery_{k}.bbox_pred")
+        logits_v = [F.linear(ft, cwk, cbk) for ft in fts]
+        deltas_v = [F.linear(ft, bwk, bbk) for ft in fts]
+
+        ce_terms, reg_terms = [], []
+        fg = (cls >= 0) & (cls < NUM_CLASSES)
+        fg_idx = fg.nonzero()[:, 0]
+        for view in range(4):
+            pv = pred_view[view]
+            ce = F.cross_entropy(logits_v[pv], cls, reduction="none",
+                                 ignore_index=-1)
+            ce_terms.append(torch.mean(ce * weights))
+            gt_boxes_view = boxes_t[view][index]
+            d_gt = get_deltas(boxes_t[view], gt_boxes_view)
+            d_pred = deltas_v[pv].view(p, NUM_CLASSES, 4)[fg_idx, cls[fg_idx]]
+            reg_terms.append((d_pred - d_gt[fg_idx]).abs().sum() / p)
+        losses[f"loss_cls_r{k}"] = (sum(ce_terms) / 4.0).item()
+        losses[f"loss_box_reg_r{k}"] = (sum(reg_terms) / 4.0).item()
+
+        prev = (sum(F.softmax(l, dim=1) for l in logits_v) / 4.0).detach()
+        rec[f"prev_r{k + 1}"] = prev.numpy()
+
+    case_sums = np.array(
+        [image.sum(), image2.sum(), boxes4.sum(), objectness.sum(),
+         gt_oh.sum(),
+         float(sum(v.astype(np.float64).sum() for v in blobs.values()))],
+        np.float64)
+    np.savez_compressed(
+        out_dir / "oicr_plus_train.npz",
+        case_sums=case_sums,
+        loss_names=np.array(sorted(losses)),
+        loss_values=np.array([losses[n] for n in sorted(losses)], np.float64),
+        **rec)
+    print("oicr_plus_train:", {n: round(v, 5) for n, v in losses.items()})
+
+
 def gen_cocoeval(ext, out_dir):
     """Golden COCO bbox AP from the reference's own C++ COCOeval
     (uwsod/detectron2/layers/csrc/cocoeval, driven exactly like
@@ -813,6 +1010,7 @@ def main(argv=None):
         "pcl_loss": gen_pcl_loss, "roi_merge": gen_roi_merge,
         "roi_label": gen_roi_label, "nms": gen_nms,
         "oicr_plus_forward": gen_oicr_plus_forward,
+        "oicr_plus_train": gen_oicr_plus_train,
         "cocoeval": gen_cocoeval,
     }
     only = set(filter(None, args.only.split(",")))
