@@ -449,6 +449,28 @@ def _table_chain_bwd(t_flat, dt_flat, h, w, lh, lw, nc):
     return drow  # unreachable (lh >= 1)
 
 
+def _pairwise_max_winner(g: jnp.ndarray):
+    """(nc, rows, C) -> (max over corners, int32 index of the FIRST corner
+    attaining it). Unrolled pairwise tournament: >= comparisons keep the
+    lower index on ties at every level, so the result is the first-scan-hit
+    corner — identical to a lax.reduce with (av==bv)&(ai<=bi) tie-breaking,
+    but with no materialized iota operand (everything fuses elementwise)."""
+    nc = g.shape[0]
+    assert nc in (2, 4), nc
+    i32 = jnp.int32
+    if nc == 2:
+        keep0 = g[0] >= g[1]
+        return jnp.where(keep0, g[0], g[1]), jnp.where(keep0, i32(0), i32(1))
+    k01 = g[0] >= g[1]
+    m01 = jnp.where(k01, g[0], g[1])
+    i01 = jnp.where(k01, i32(0), i32(1))
+    k23 = g[2] >= g[3]
+    m23 = jnp.where(k23, g[2], g[3])
+    i23 = jnp.where(k23, i32(2), i32(3))
+    keep = m01 >= m23
+    return jnp.where(keep, m01, m23), jnp.where(keep, i01, i23)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def _roi_pool_multi(spatial_scale, output_size, nc, nchunks, feats, boxes,
                     valid, row_scale):
@@ -480,21 +502,16 @@ def _roi_pool_multi_fwd(spatial_scale, output_size, nc, nchunks, feats,
         # OOMs batch-4 training when unchunked (see _pool_row_chunks)
         for s0, sz in _chunk_slices(idxs[i].shape[1], nchunks):
             g = jnp.take(tables[i], idxs[i][:, s0:s0 + sz], axis=0)
-            # ONE variadic reduce produces max and first-winning-corner
-            # together: separate jnp.max + jnp.argmax stream the gather
-            # output through HBM twice (~31 ms/step at production shapes).
-            iota = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0)
-
-            def _pick(a, b):
-                av, ai = a
-                bv, bi = b
-                take_a = (av > bv) | ((av == bv) & (ai <= bi))
-                return (jnp.where(take_a, av, bv), jnp.where(take_a, ai, bi))
-
-            out_pre, win_i = jax.lax.reduce(
-                (g, iota), (jnp.asarray(-jnp.inf, g.dtype),
-                            jnp.int32(idxs[i].shape[0])),
-                _pick, (0,))
+            # Unrolled pairwise max+first-winner over the nc corner axis:
+            # pure elementwise ops fuse into the gather's output pass, so g
+            # streams through HBM ONCE. (Separate jnp.max + jnp.argmax
+            # streamed it twice, ~31 ms/step; a variadic lax.reduce with a
+            # broadcasted_iota index operand materialized the iota as
+            # (nc, rows, C) s32 HLO temps — 392 MB per chunk at production
+            # shapes, the allocation that kept batch-4 OOMing even with
+            # row-chunked gathers.) Ties route to the LOWEST corner index,
+            # matching the reduce's (av==bv) & (ai<=bi) semantics.
+            out_pre, win_i = _pairwise_max_winner(g)
             # winner-corner residual: index of the FIRST corner attaining
             # the max, stored as bf16 (8-bit tensors hit Mosaic's emulated
             # int8 path); nc-x smaller than keeping g (822 MB vs 3.3 GB at
