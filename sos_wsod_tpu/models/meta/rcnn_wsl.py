@@ -89,11 +89,16 @@ class MultiInputRCNN(nn.Module):
         res = (self.pooler_resolution, self.pooler_resolution)
         if self.pooler_type == "ROIPool":
             h, w, c = feat.shape
-            # "auto" resolves to the XLA table path for now: the fused
-            # kernel's per-(roi, ph) grid pays a ~1.5 us/step pipeline tax
-            # that makes it slower than the gather-bound table formulation
-            # at production P=4096 (measured r3; see BASELINE.md). Flip auto
-            # back once the blocked-ROI kernel beats the table on-chip.
+            # "auto" resolves to the XLA table path (the measured winner —
+            # retired claim, r5): the fused kernel's (C/128, P, 7) = 114k-
+            # step grid pays a per-step pipeline tax plus an int32 pos
+            # output stream that the table path doesn't, and loses at
+            # production P=4096 (r3 measurement; standing A/B re-runs via
+            # tools/bench_pool_impls.py). The table path sits AT the XLA
+            # row gather/scatter descriptor floors (~14/22 ns/row, r5
+            # device trace) — a Pallas rewrite only wins if it amortizes
+            # reads across a ROI's bins better than those floors, which
+            # the per-(roi, ph) horizontal-table rebuild does not.
             use_fused = (self.pool_impl == "pallas"
                          and roi_pool_fused_supported(h, w, c, feat.dtype))
             if use_fused:

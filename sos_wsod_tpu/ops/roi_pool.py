@@ -502,16 +502,36 @@ def _roi_pool_multi_fwd(spatial_scale, output_size, nc, nchunks, feats,
         # OOMs batch-4 training when unchunked (see _pool_row_chunks)
         for s0, sz in _chunk_slices(idxs[i].shape[1], nchunks):
             g = jnp.take(tables[i], idxs[i][:, s0:s0 + sz], axis=0)
-            # Unrolled pairwise max+first-winner over the nc corner axis:
-            # pure elementwise ops fuse into the gather's output pass, so g
-            # streams through HBM ONCE. (Separate jnp.max + jnp.argmax
-            # streamed it twice, ~31 ms/step; a variadic lax.reduce with a
-            # broadcasted_iota index operand materialized the iota as
-            # (nc, rows, C) s32 HLO temps — 392 MB per chunk at production
-            # shapes, the allocation that kept batch-4 OOMing even with
-            # row-chunked gathers.) Ties route to the LOWEST corner index,
-            # matching the reduce's (av==bv) & (ai<=bi) semantics.
-            out_pre, win_i = _pairwise_max_winner(g)
+            # max + first-winning-corner in one pass over g (separate
+            # jnp.max + jnp.argmax streamed the gather output through HBM
+            # twice, ~31 ms/step). Two equivalent formulations, A/B'd on
+            # chip r5 at B=1 scan=32:
+            #  - variadic lax.reduce with a broadcasted_iota index operand:
+            #    3.125 img/s end-to-end, but the iota materializes as
+            #    (nc, rows, C) s32 HLO temps — 392 MB per row chunk, the
+            #    allocations that OOM batch-4 training (19.3G/15.75G even
+            #    with row-chunked gathers);
+            #  - unrolled pairwise max/first-winner tournament: pure
+            #    elementwise (no iota temps) but 3.059 img/s (-2.1%).
+            # So: reduce on the unchunked fast path (production B=1),
+            # pairwise whenever row-chunking is on — the memory-constrained
+            # configuration where the iota temps are exactly what blows HBM.
+            if nchunks > 1:
+                out_pre, win_i = _pairwise_max_winner(g)
+            else:
+                iota = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0)
+
+                def _pick(a, b):
+                    av, ai = a
+                    bv, bi = b
+                    take_a = (av > bv) | ((av == bv) & (ai <= bi))
+                    return (jnp.where(take_a, av, bv),
+                            jnp.where(take_a, ai, bi))
+
+                out_pre, win_i = jax.lax.reduce(
+                    (g, iota), (jnp.asarray(-jnp.inf, g.dtype),
+                                jnp.int32(idxs[i].shape[0])),
+                    _pick, (0,))
             # winner-corner residual: index of the FIRST corner attaining
             # the max, stored as bf16 (8-bit tensors hit Mosaic's emulated
             # int8 path); nc-x smaller than keeping g (822 MB vs 3.3 GB at

@@ -1,18 +1,24 @@
-"""Benchmark the ROI-pool implementation at stage-1 production shapes (real TPU).
+"""Benchmark the ROI-pool implementations at stage-1 production shapes (real TPU).
 
 Times, for the 4-view multi-input configuration (2 scales x id/flip,
-P=4096 proposals, C=512, 7x7 bins), the production pool:
-  - table: ops.roi_pool.roi_pool_multi (XLA doubling-table gather/scatter)
+P=4096 proposals, C=512, 7x7 bins):
+  - table:  ops.roi_pool.roi_pool_multi (XLA doubling-table gather/scatter)
+  - pallas: ops.pallas.roi_pool_fused (VMEM-resident key table, one call per
+    view) — the standing table-vs-pallas A/B (VERDICT r4 #4) so the
+    comparison re-runs every round instead of rotting
 fwd-only and fwd+bwd (vjp wrt features), using the donated chained-step
 timing pattern (the only trustworthy timing through the axon tunnel — see
 .claude/skills/verify/SKILL.md).
 
-History (BASELINE.md "Round-3 throughput analysis"): a direct blocked Pallas
-kernel (per-ROI VMEM windows) was built and measured at 1.85 s for 24 ROIs —
-unaligned dynamic sublane reads are pathologically slow in Mosaic — and a
-masked-reduce rewrite measured 16.6 s/call at production shapes. The XLA
-table-gather formulation is at the measured gather floor (~14 ns/row) and is
-retained as the only implementation.
+History (BASELINE.md r2-r5): a direct blocked Pallas kernel (per-ROI VMEM
+windows) measured 1.85 s for 24 ROIs — unaligned dynamic sublane reads are
+pathologically slow in Mosaic — and a masked-reduce rewrite 16.6 s/call at
+production shapes. The shipped ``roi_pool_fused`` (vertical key table in
+VMEM, per-(roi, ph) horizontal scratch tables) is correct but pays a
+per-grid-step pipeline tax over its (C/128, P, 7) = 114k-step grid plus an
+int32 pos output stream, and loses to the table path at production P=4096;
+the XLA table formulation is at the measured row-gather/scatter descriptor
+floors (~14/22 ns/row) and remains the production default ("auto").
 """
 from __future__ import annotations
 
@@ -62,6 +68,8 @@ def main():
     args = ap.parse_args()
 
     from sos_wsod_tpu.ops.roi_pool import roi_pool_multi
+    from sos_wsod_tpu.ops.pallas.roi_pool_fused import (
+        roi_pool_fused, roi_pool_fused_supported)
 
     rng = np.random.RandomState(0)
     p, c = args.p, 512
@@ -88,8 +96,29 @@ def main():
                                      spatial_scale=0.125, num_corners=nc), fs)
         return vjp(ct.astype(out.dtype))
 
+    variants = [("table_fwd", table_fwd), ("table_fwd+bwd", table_fb)]
+
+    if all(roi_pool_fused_supported(h, w, c, jnp.bfloat16) for h, w in shapes):
+        @jax.jit
+        def pallas_fwd(fs):
+            return jnp.stack([
+                roi_pool_fused(fs[i], boxes[i], valid, rs, 0.125, (7, 7))
+                for i in range(4)])
+
+        @jax.jit
+        def pallas_fb(fs):
+            out, vjp = jax.vjp(
+                lambda f: jnp.stack([
+                    roi_pool_fused(f[i], boxes[i], valid, rs, 0.125, (7, 7))
+                    for i in range(4)]), fs)
+            return vjp(ct.astype(out.dtype))
+
+        variants += [("pallas_fwd", pallas_fwd), ("pallas_fwd+bwd", pallas_fb)]
+    else:
+        print("pallas: unsupported at these shapes, skipping", flush=True)
+
     only = set(filter(None, args.only.split(",")))
-    for name, fn in [("table_fwd", table_fwd), ("table_fwd+bwd", table_fb)]:
+    for name, fn in variants:
         if only and name not in only:
             continue
         print(f"compiling {name} ...", flush=True)
