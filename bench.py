@@ -77,6 +77,8 @@ def _emit(imgs_per_sec: float, prev: float, extra: dict | None = None) -> None:
 
 def main():
     import jax
+    from sos_wsod_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()  # env vars are too late: jax pre-imports at startup
     import jax.numpy as jnp
 
     from sos_wsod_tpu.engine.trainer import make_stage1_train_step

@@ -59,6 +59,7 @@ def test_torch_sgd_matches_torch_semantics():
     np.testing.assert_allclose(np.asarray(params["w"]), p_t.detach().numpy(), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_spmd_train_step_8dev_mesh():
     from jax.sharding import Mesh
 
@@ -116,6 +117,7 @@ def test_trainer_loop_runs_with_hooks(tmp_path):
     assert "total_loss" in hist and np.isfinite(hist["total_loss"].latest)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_contract():
     # In-process path: conftest already provides 8 virtual devices.
     sys.path.insert(0, "/root/repo")
@@ -124,6 +126,7 @@ def test_dryrun_multichip_contract():
     dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_self_provisions_from_one_device():
     """Mirror the DRIVER's invocation context: a fresh process that sees only
     ONE device (like the 1-chip axon platform) must self-provision a virtual
@@ -174,6 +177,7 @@ def test_auto_scale_workers():
     assert auto_scale_workers(cfg, 8) is cfg
 
 
+@pytest.mark.slow
 def test_scan_superstep_matches_single_steps():
     """scan_steps=2 must reproduce two sequential single-step updates exactly."""
     model = MultiInputRCNN(num_classes=20, seed_cap=16, dan_dims=(32, 32))
@@ -210,6 +214,7 @@ def test_scan_superstep_matches_single_steps():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_tp_mesh_2x4_matches_dp():
     """Tensor parallelism (Megatron split of the DAN fc stack over a
     (data=2, model=4) mesh, parallel/sharding_rules.py) computes the same

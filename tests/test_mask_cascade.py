@@ -88,6 +88,7 @@ def test_mask_roi_heads_train_and_predict():
     assert np.all((np.asarray(pred) >= 0) & (np.asarray(pred) <= 1))
 
 
+@pytest.mark.slow
 def test_cascade_roi_heads():
     rng = np.random.RandomState(1)
     feats = _fpn_features(rng)

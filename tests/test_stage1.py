@@ -282,6 +282,7 @@ def _tiny_batch(rng, p=32, h1=64, w1=96, h2=96, w2=128):
     }
 
 
+@pytest.mark.slow
 def test_stage1_train_loss_and_grads():
     model = _tiny_model()
     rng = np.random.RandomState(0)
@@ -343,6 +344,7 @@ def test_stage1_inference_shapes():
     assert np.asarray(det.valid).sum() > 0
 
 
+@pytest.mark.slow
 def test_oicrplus_bbox_update():
     """OICRPLUS.BBOX_UPDATE: flip-consistent delta averaging feeds regressed
     boxes to the next branch's mining; losses stay finite and grads flow."""

@@ -19,12 +19,16 @@ from __future__ import annotations
 
 import functools
 import os
+import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_tpu_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax
+from sos_wsod_tpu.utils.compile_cache import enable_persistent_cache
+enable_persistent_cache()  # env vars are too late: jax pre-imports at startup
 import jax.numpy as jnp
 import numpy as np
 

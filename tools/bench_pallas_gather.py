@@ -25,6 +25,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_tpu_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax
+from sos_wsod_tpu.utils.compile_cache import enable_persistent_cache
+enable_persistent_cache()  # env vars are too late: jax pre-imports at startup
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl

@@ -68,6 +68,8 @@ def _image_batch(rng, b, h, w, g=32):
 
 def main():
     import jax
+    from sos_wsod_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()  # env vars are too late: jax pre-imports at startup
     import jax.numpy as jnp
 
     from sos_wsod_tpu.engine.ubteacher import make_semisup_step
@@ -116,6 +118,19 @@ def main():
     jax.device_get(m["total_loss"])
     print(f"bench_ssod: warmup done in {time.perf_counter() - t_c:.1f}s",
           file=sys.stderr, flush=True)
+
+    trace_dir = os.environ.get("SOS_SSOD_TRACE", "")
+    if trace_dir:
+        # attribution mode: trace ONE superstep (program is compile-cached
+        # from the bench run) and aggregate per-op device durations — the
+        # scan body's ops show up with durations summed over SCAN sub-steps
+        from _trace_agg import aggregate_device_trace
+
+        os.makedirs(trace_dir, exist_ok=True)
+        with jax.profiler.trace(trace_dir):
+            state, m = step(state, batch, jax.random.fold_in(key, 777))
+            jax.device_get(m["total_loss"])
+        aggregate_device_trace(trace_dir, iters=SCAN)
 
     deadline = time.perf_counter() + DEADLINE
     t0 = time.perf_counter()

@@ -33,6 +33,8 @@ def main():
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
     import jax
+    from sos_wsod_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()  # env vars are too late: jax pre-imports at startup
     import jax.numpy as jnp
 
     from sos_wsod_tpu.engine.trainer import make_stage1_train_step
