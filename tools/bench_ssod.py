@@ -32,7 +32,13 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
 
-SCAN = int(os.environ.get("SOS_BENCH_SCAN", "8"))
+# scan=32 like bench.py: the r5 device trace puts the semisup step at
+# ~353 ms/step DEVICE (2.83 s per 8-step superstep) while wall at scan=8 was
+# ~3 s/step — ~21 s of per-dispatch axon-tunnel overhead on this ~55k-
+# instruction program (dispatch cost scales with program size through the
+# tunnel; locally-attached chips don't pay it). scan=32 amortizes it to
+# ~0.7 s/step of overhead.
+SCAN = int(os.environ.get("SOS_BENCH_SCAN", "32"))
 H = int(os.environ.get("SOS_SSOD_H", "832"))
 W = int(os.environ.get("SOS_SSOD_W", "1088"))
 ITERS = int(os.environ.get("SOS_BENCH_ITERS", "4"))
