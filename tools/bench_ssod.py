@@ -32,13 +32,15 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
 
-# scan=32 like bench.py: the r5 device trace puts the semisup step at
-# ~353 ms/step DEVICE (2.83 s per 8-step superstep) while wall at scan=8 was
-# ~3 s/step — ~21 s of per-dispatch axon-tunnel overhead on this ~55k-
-# instruction program (dispatch cost scales with program size through the
-# tunnel; locally-attached chips don't pay it). scan=32 amortizes it to
-# ~0.7 s/step of overhead.
-SCAN = int(os.environ.get("SOS_BENCH_SCAN", "32"))
+# The r5 device trace puts the semisup step at ~353 ms/step DEVICE (2.83 s
+# per 8-step superstep) while wall at scan=8 is ~3 s/step — ~21 s of
+# per-dispatch axon-tunnel overhead on this ~55k-instruction program
+# (dispatch cost scales with program size through the tunnel;
+# locally-attached chips don't pay it). scan=32 would amortize it but its
+# compile CRASHED the tunnel's TPU worker (r5, "TPU worker process crashed
+# or restarted"), so the default stays at the known-good 8 and the honest
+# throughput number is the device-trace one (SOS_SSOD_TRACE=dir).
+SCAN = int(os.environ.get("SOS_BENCH_SCAN", "8"))
 H = int(os.environ.get("SOS_SSOD_H", "832"))
 W = int(os.environ.get("SOS_SSOD_W", "1088"))
 ITERS = int(os.environ.get("SOS_BENCH_ITERS", "4"))
