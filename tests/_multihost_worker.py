@@ -38,6 +38,12 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 4)
 jax.config.update("jax_cpu_collectives_implementation", "gloo")
+# env vars above are a no-op here — the container pre-imports jax via a site
+# hook before this file's os.environ lines run (see
+# sos_wsod_tpu/utils/compile_cache.py); push the cache through jax.config so
+# the ~15-min 2-process semisup compile is paid once, not per test run
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_compilation")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 
 def main():
